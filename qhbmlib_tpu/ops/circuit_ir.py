@@ -1,0 +1,237 @@
+"""Array-native quantum circuit IR.
+
+Replaces the reference's serialized-cirq-proto circuit tensors and the TFQ C++
+composition ops (`tfq.convert_to_tensor`, `tfq.append_circuit`,
+`tfq.resolve_parameters`; reference: qhbmlib/models/circuit.py:63,132-136,207)
+with a static, hashable gate-sequence structure:
+
+  * every gate is a frozen record (kind, qubits, symbol slot, coeff, shift),
+  * circuits compose with pure Python (`append`, `inverse`),
+  * parameter binding is a traced array op (angle = coeff * values[slot] + shift),
+
+so circuits can be closed over by `jit`ted simulation functions, specialize the
+compiler on circuit structure, and contain no strings or dynamic shapes.
+
+Gate parameter conventions
+--------------------------
+
+Power gates (`XP`, `YP`, `ZP`, `HP`, `CZP`, `CXP`, `XXP`, `YYP`, `ZZP`) use the
+cirq exponent convention *including global phase*: ``G**t`` for involution `G`
+is ``exp(i*pi*t/2) * exp(-i*pi*t/2 * G)``.  Rotation gates (`RX`, `RY`, `RZ`)
+are ``exp(-i*theta/2 * P)``.  `PROT` is ``exp(-i*theta*P)`` for a multi-qubit
+Pauli string `P` (used for Trotter steps / QAIA layers; replaces
+`tfq.util.exponential`, reference: qhbmlib/models/circuit.py:268-269).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+# Gate kind names.  Static strings keep the IR hashable.
+XP, YP, ZP, HP = "xp", "yp", "zp", "hp"
+RX, RY, RZ = "rx", "ry", "rz"
+CZP, CXP = "czp", "cxp"
+XXP, YYP, ZZP = "xxp", "yyp", "zzp"
+PROT = "prot"  # exp(-i * theta * PauliString)
+GPHASE = "gphase"  # global phase exp(i * theta)
+
+ONE_QUBIT_KINDS = frozenset({XP, YP, ZP, HP, RX, RY, RZ})
+TWO_QUBIT_KINDS = frozenset({CZP, CXP, XXP, YYP, ZZP})
+
+# d(rotation angle)/d(gate parameter) for the two-eigenvalue parameter-shift
+# rule: every supported gate is phase * exp(-i*phi/2*G) with G an involution,
+# where phi = _ANGLE_SCALE[kind] * param.
+_ANGLE_SCALE = {
+    XP: np.pi, YP: np.pi, ZP: np.pi, HP: np.pi,
+    CZP: np.pi, CXP: np.pi, XXP: np.pi, YYP: np.pi, ZZP: np.pi,
+    RX: 1.0, RY: 1.0, RZ: 1.0,
+    PROT: 2.0,
+    GPHASE: 0.0,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Gate:
+  """One gate instance inside a circuit.
+
+  The gate's angle parameter resolves to ``coeff * symbol_values[slot] + shift``
+  (``slot == -1`` means a constant gate with angle ``shift``).
+  """
+  kind: str
+  qubits: Tuple[int, ...]
+  slot: int = -1
+  coeff: float = 1.0
+  shift: float = 0.0
+  # For PROT gates only: pauli codes aligned with `qubits` (1=X, 2=Y, 3=Z).
+  paulis: Tuple[int, ...] = ()
+
+  def inverse(self) -> "Gate":
+    """All supported gates satisfy U(angle)^-1 == U(-angle)."""
+    return dataclasses.replace(self, coeff=-self.coeff, shift=-self.shift)
+
+  @property
+  def angle_scale(self) -> float:
+    return _ANGLE_SCALE[self.kind]
+
+
+@dataclasses.dataclass(frozen=True)
+class Circuit:
+  """A static gate sequence over qubits [0, num_qubits).
+
+  Hashable so it can be a static argument of jitted simulator entry points.
+  ``symbol_names`` orders the free parameters; simulation functions take a
+  matching `symbol_values` array.
+  """
+  num_qubits: int
+  gates: Tuple[Gate, ...] = ()
+  symbol_names: Tuple[str, ...] = ()
+
+  @property
+  def num_symbols(self) -> int:
+    return len(self.symbol_names)
+
+  @property
+  def num_gates(self) -> int:
+    return len(self.gates)
+
+  def append(self, other: "Circuit") -> "Circuit":
+    """Circuit concatenation; shared symbol names map to shared slots.
+
+    Replaces `tfq.append_circuit` (reference: qhbmlib/models/circuit.py:136).
+    """
+    num_qubits = max(self.num_qubits, other.num_qubits)
+    names = list(self.symbol_names)
+    index: Dict[str, int] = {s: i for i, s in enumerate(names)}
+    remap = {}
+    for j, s in enumerate(other.symbol_names):
+      if s not in index:
+        index[s] = len(names)
+        names.append(s)
+      remap[j] = index[s]
+    new_gates = list(self.gates)
+    for g in other.gates:
+      if g.slot >= 0:
+        g = dataclasses.replace(g, slot=remap[g.slot])
+      new_gates.append(g)
+    return Circuit(num_qubits, tuple(new_gates), tuple(names))
+
+  def inverse(self) -> "Circuit":
+    """Reversed gate order with inverted gates; same symbols/slots.
+
+    Replaces `circuit**-1` via cirq inversion (reference:
+    qhbmlib/models/circuit.py:164-178).
+    """
+    return Circuit(self.num_qubits,
+                   tuple(g.inverse() for g in reversed(self.gates)),
+                   self.symbol_names)
+
+  def parameterized_gate_indices(self) -> Tuple[int, ...]:
+    return tuple(i for i, g in enumerate(self.gates) if g.slot >= 0)
+
+
+class CircuitBuilder:
+  """Imperative builder producing an immutable Circuit."""
+
+  def __init__(self, num_qubits: int):
+    self.num_qubits = num_qubits
+    self._gates = []
+    self._names = []
+    self._index: Dict[str, int] = {}
+
+  def _slot(self, symbol: Optional[str]) -> int:
+    if symbol is None:
+      return -1
+    if symbol not in self._index:
+      self._index[symbol] = len(self._names)
+      self._names.append(symbol)
+    return self._index[symbol]
+
+  def add(self,
+          kind: str,
+          qubits: Sequence[int],
+          symbol: Optional[str] = None,
+          coeff: float = 1.0,
+          shift: float = 0.0,
+          paulis: Sequence[int] = ()) -> "CircuitBuilder":
+    for q in qubits:
+      if not 0 <= q < self.num_qubits:
+        raise ValueError(f"qubit {q} out of range")
+    if len(set(qubits)) != len(qubits):
+      raise ValueError("gate qubits must be distinct")
+    self._gates.append(
+        Gate(
+            kind=kind,
+            qubits=tuple(int(q) for q in qubits),
+            slot=self._slot(symbol),
+            coeff=float(coeff),
+            shift=float(shift),
+            paulis=tuple(int(p) for p in paulis)))
+    return self
+
+  # Convenience wrappers -----------------------------------------------------
+  def xp(self, q, symbol=None, coeff=1.0, shift=0.0):
+    return self.add(XP, [q], symbol, coeff, shift)
+
+  def yp(self, q, symbol=None, coeff=1.0, shift=0.0):
+    return self.add(YP, [q], symbol, coeff, shift)
+
+  def zp(self, q, symbol=None, coeff=1.0, shift=0.0):
+    return self.add(ZP, [q], symbol, coeff, shift)
+
+  def hp(self, q, symbol=None, coeff=1.0, shift=0.0):
+    return self.add(HP, [q], symbol, coeff, shift)
+
+  def h(self, q):
+    return self.add(HP, [q], None, 0.0, 1.0)
+
+  def rx(self, q, symbol=None, coeff=1.0, shift=0.0):
+    return self.add(RX, [q], symbol, coeff, shift)
+
+  def ry(self, q, symbol=None, coeff=1.0, shift=0.0):
+    return self.add(RY, [q], symbol, coeff, shift)
+
+  def rz(self, q, symbol=None, coeff=1.0, shift=0.0):
+    return self.add(RZ, [q], symbol, coeff, shift)
+
+  def cz(self, q0, q1, symbol=None, coeff=1.0, shift=0.0):
+    if symbol is None and coeff == 1.0 and shift == 0.0:
+      shift = 1.0
+      coeff = 0.0
+    return self.add(CZP, [q0, q1], symbol, coeff, shift)
+
+  def cnot(self, q0, q1):
+    return self.add(CXP, [q0, q1], None, 0.0, 1.0)
+
+  def prot(self, qubits, paulis, symbol=None, coeff=1.0, shift=0.0):
+    """exp(-i * angle * PauliString) on the given qubits."""
+    return self.add(PROT, qubits, symbol, coeff, shift, paulis=paulis)
+
+  def build(self) -> Circuit:
+    return Circuit(self.num_qubits, tuple(self._gates), tuple(self._names))
+
+
+def exp_pauli_sum(paulisum,
+                  symbol: Optional[str] = None,
+                  coeff: float = 1.0,
+                  shift: float = 0.0,
+                  builder: Optional[CircuitBuilder] = None) -> Circuit:
+  """Appends exp(-i * angle * term) for each term of `paulisum`.
+
+  Exact when the terms commute (the Trotter/TFIM and QAIA use cases).  The
+  per-term coefficient multiplies the angle.  Replaces `tfq.util.exponential`
+  (reference: qhbmlib/models/circuit.py:268-269, baselines/train.py:88-89).
+  """
+  b = builder or CircuitBuilder(paulisum.num_qubits)
+  coeffs = np.asarray(paulisum.coeffs)
+  for t in range(paulisum.num_terms):
+    qubits = [q for q, c in enumerate(paulisum.codes[t]) if c != 0]
+    paulis = [c for c in paulisum.codes[t] if c != 0]
+    if not qubits:  # identity term: global phase exp(-i*angle*coeff_t)
+      b.add(GPHASE, [], symbol, -coeff * float(coeffs[t]), -shift * float(coeffs[t]))
+      continue
+    b.prot(qubits, paulis, symbol, coeff * float(coeffs[t]),
+           shift * float(coeffs[t]))
+  return b if builder is not None else b.build()

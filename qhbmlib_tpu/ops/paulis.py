@@ -1,0 +1,172 @@
+"""Array-native Pauli-string algebra for the TPU statevector engine.
+
+This replaces the reference's use of `cirq.PauliSum` / `cirq.PauliString`
+(reference: qhbmlib/models/energy.py:165-209, baselines/train.py:46-77) with a
+lightweight, jit-friendly representation: a PauliSum is a static integer code
+matrix ``codes[t, q] in {0:I, 1:X, 2:Y, 3:Z}`` plus a (traceable) coefficient
+vector.  Static codes let every Pauli application compile to axis flips and
+rank-1 phase broadcasts on the ``(2,)*n`` statevector -- no gathers, no string
+tensors, no protobufs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Mapping, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+I, X, Y, Z = 0, 1, 2, 3
+
+_CHAR_TO_CODE = {"I": I, "X": X, "Y": Y, "Z": Z}
+_CODE_TO_CHAR = "IXYZ"
+
+# Dense 2x2 matrices, used only by the small dense oracle paths.
+_PAULI_MATS = (
+    np.eye(2, dtype=np.complex64),
+    np.array([[0, 1], [1, 0]], dtype=np.complex64),
+    np.array([[0, -1j], [1j, 0]], dtype=np.complex64),
+    np.array([[1, 0], [0, -1]], dtype=np.complex64),
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PauliSum:
+  """Sum of Pauli strings: sum_t coeffs[t] * prod_q P(codes[t, q]) on qubit q.
+
+  ``codes`` is static (part of the pytree aux data) so that jitted functions
+  specialize on the operator structure; ``coeffs`` is a traced array so that
+  gradients can flow through operator coefficients.
+  """
+
+  codes: Tuple[Tuple[int, ...], ...]  # [num_terms][num_qubits], static
+  coeffs: jnp.ndarray  # [num_terms], float32 or complex64
+  num_qubits: int
+
+  def tree_flatten(self):
+    return (self.coeffs,), (self.codes, self.num_qubits)
+
+  @classmethod
+  def tree_unflatten(cls, aux, children):
+    codes, num_qubits = aux
+    return cls(codes=codes, coeffs=children[0], num_qubits=num_qubits)
+
+  @property
+  def num_terms(self) -> int:
+    return len(self.codes)
+
+  def codes_array(self) -> np.ndarray:
+    return np.asarray(self.codes, dtype=np.int32).reshape(
+        self.num_terms, self.num_qubits)
+
+  def __add__(self, other: "PauliSum") -> "PauliSum":
+    if self.num_qubits != other.num_qubits:
+      raise ValueError("PauliSums must act on the same number of qubits.")
+    return PauliSum(
+        codes=self.codes + other.codes,
+        coeffs=jnp.concatenate([jnp.atleast_1d(self.coeffs),
+                                jnp.atleast_1d(other.coeffs)]),
+        num_qubits=self.num_qubits)
+
+  def __mul__(self, scalar) -> "PauliSum":
+    return PauliSum(self.codes, self.coeffs * scalar, self.num_qubits)
+
+  __rmul__ = __mul__
+
+  def __neg__(self) -> "PauliSum":
+    return self * -1.0
+
+  def __sub__(self, other: "PauliSum") -> "PauliSum":
+    return self + (-other)
+
+  def __repr__(self):
+    terms = []
+    for t in range(self.num_terms):
+      ops = "".join(f"{_CODE_TO_CHAR[c]}{q}"
+                    for q, c in enumerate(self.codes[t]) if c != I) or "I"
+      terms.append(f"({ops})")
+    return f"PauliSum(n={self.num_qubits}, terms={'+'.join(terms)})"
+
+  def dense(self) -> np.ndarray:
+    """Dense (2^n, 2^n) matrix; oracle/metrics path, small n only."""
+    dim = 2**self.num_qubits
+    out = np.zeros((dim, dim), dtype=np.complex64)
+    coeffs = np.asarray(self.coeffs)
+    for t in range(self.num_terms):
+      mat = np.eye(1, dtype=np.complex64)
+      for q in range(self.num_qubits):
+        mat = np.kron(mat, _PAULI_MATS[self.codes[t][q]])
+      out = out + coeffs[t] * mat
+    return out
+
+
+def pauli_string(num_qubits: int,
+                 qubit_paulis: Mapping[int, Union[str, int]],
+                 coeff: float = 1.0) -> PauliSum:
+  """Single Pauli string, e.g. pauli_string(3, {0: 'Z', 2: 'Z'}, -1.0)."""
+  codes = [I] * num_qubits
+  for q, p in qubit_paulis.items():
+    if not 0 <= q < num_qubits:
+      raise ValueError(f"qubit {q} out of range for {num_qubits} qubits")
+    codes[q] = _CHAR_TO_CODE[p] if isinstance(p, str) else int(p)
+  return PauliSum(
+      codes=(tuple(codes),),
+      coeffs=jnp.asarray([coeff], dtype=jnp.float32),
+      num_qubits=num_qubits)
+
+
+def pauli_sum_from_strings(
+    num_qubits: int,
+    terms: Iterable[Tuple[float, Mapping[int, Union[str, int]]]]) -> PauliSum:
+  """Builds a PauliSum from (coeff, {qubit: pauli}) pairs."""
+  codes = []
+  coeffs = []
+  for coeff, qmap in terms:
+    row = [I] * num_qubits
+    for q, p in qmap.items():
+      row[q] = _CHAR_TO_CODE[p] if isinstance(p, str) else int(p)
+    codes.append(tuple(row))
+    coeffs.append(coeff)
+  return PauliSum(
+      codes=tuple(codes),
+      coeffs=jnp.asarray(coeffs, dtype=jnp.float32),
+      num_qubits=num_qubits)
+
+
+def z_strings_from_masks(masks: Sequence[Sequence[int]],
+                         num_qubits: int) -> Tuple[PauliSum, ...]:
+  """One single-term Z-string PauliSum per mask row (operator shards).
+
+  Replaces the reference's per-shard `cirq.PauliSum.from_pauli_strings(Z...)`
+  (reference: qhbmlib/models/energy.py:165-167, 200-209).
+  """
+  shards = []
+  for mask in masks:
+    codes = tuple(Z if m else I for m in mask)
+    shards.append(
+        PauliSum(
+            codes=(codes,),
+            coeffs=jnp.ones([1], dtype=jnp.float32),
+            num_qubits=num_qubits))
+  return tuple(shards)
+
+
+def stack_single_term(paulisums: Sequence[PauliSum]) -> PauliSum:
+  """Stacks single-term PauliSums into one multi-term PauliSum.
+
+  Useful for measuring many shards in one fused pass.
+  """
+  codes = []
+  coeffs = []
+  for p in paulisums:
+    if p.num_terms != 1:
+      raise ValueError("stack_single_term requires single-term PauliSums.")
+    codes.append(p.codes[0])
+    coeffs.append(p.coeffs[0])
+  return PauliSum(
+      codes=tuple(codes),
+      coeffs=jnp.stack(coeffs),
+      num_qubits=paulisums[0].num_qubits)

@@ -1,0 +1,97 @@
+"""Utilities used across more than one module.
+
+TPU-native reimplementation of the reference's qhbmlib/utils.py:20-92:
+`weighted_average` keeps the identical count-weighted einsum semantics; the
+dynamic-shape `tf.raw_ops.UniqueWithCountsV2` dedup (reference:
+qhbmlib/utils.py:61-78) becomes static-shape, jit-safe alternatives
+(`unique_bitstrings_with_counts` with a fixed `size`, or exhaustive
+enumeration + bincount for small n -- see inference/ebm.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def weighted_average(counts: jnp.ndarray, values) -> jnp.ndarray:
+  """Count-weighted mean over the leading axis of each leaf of `values`.
+
+  Zero-count rows contribute nothing, so padded/unsampled support entries are
+  harmless.  Mirrors reference qhbmlib/utils.py:43-58.
+  """
+  float_counts = counts.astype(jnp.float32)
+  total = jnp.sum(float_counts)
+
+  def one(v):
+    weighted = jnp.einsum("i,i...->...", float_counts, v)
+    return weighted / total
+
+  return jax.tree_util.tree_map(one, values)
+
+
+def bits_to_ints(bitstrings: jnp.ndarray) -> jnp.ndarray:
+  """Big-endian [..., n] bits -> integer codes (int32; requires n <= 31)."""
+  n = bitstrings.shape[-1]
+  weights = jnp.asarray(2**np.arange(n - 1, -1, -1, dtype=np.int64), jnp.int32)
+  return jnp.sum(bitstrings.astype(jnp.int32) * weights, axis=-1)
+
+
+def ints_to_bits(ints: jnp.ndarray, num_bits: int) -> jnp.ndarray:
+  """Integer codes -> big-endian [..., num_bits] int8 bits."""
+  shifts = jnp.asarray(np.arange(num_bits - 1, -1, -1), jnp.int32)
+  return ((ints[..., None] >> shifts) & 1).astype(jnp.int8)
+
+
+def unique_bitstrings_with_counts(
+    bitstrings: jnp.ndarray,
+    size: Optional[int] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """Unique rows of a bitstring batch plus inverse indices and counts.
+
+  jit-safe when `size` is given: output shapes are static, extra rows are
+  filled with zeros and have count 0 (harmless under `weighted_average`).
+  If the true number of unique rows exceeds `size`, the overflow rows are
+  dropped -- callers bound `size` by min(2^n, num_samples, max_unique).
+
+  Returns:
+    y: [size, n] unique bitstrings (same dtype as input).
+    idx: [batch] index of each input row in `y`.
+    counts: [size] int32 occurrence counts.
+  """
+  n = bitstrings.shape[-1]
+  codes = bits_to_ints(bitstrings)
+  if size is None:
+    uniq, idx, counts = jnp.unique(codes, return_inverse=True,
+                                   return_counts=True)
+  else:
+    uniq, idx, counts = jnp.unique(codes, return_inverse=True,
+                                   return_counts=True, size=size,
+                                   fill_value=0)
+    # jnp.unique counts the fill_value rows; recompute counts by scatter-add
+    # so padding rows get exactly zero.
+    counts = jnp.zeros_like(counts).at[idx].add(1)
+  return ints_to_bits(uniq, n).astype(bitstrings.dtype), idx, counts
+
+
+def expand_unique_results(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+  """Inverse of unique_bitstrings_with_counts: expanded[i] == y[idx[i]].
+
+  Mirrors reference qhbmlib/utils.py:81-92.
+  """
+  return jnp.take(y, idx, axis=0)
+
+
+class Squeeze:
+  """Callable squeeze wrapper, mirroring reference qhbmlib/utils.py:20-40."""
+
+  def __init__(self, axis=None):
+    self._axis = axis
+
+  def __call__(self, inputs):
+    if self._axis is None:
+      return jnp.squeeze(inputs)
+    return jnp.squeeze(inputs, axis=self._axis)

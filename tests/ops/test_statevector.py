@@ -1,0 +1,299 @@
+"""Tests for the statevector engine against a dense numpy oracle.
+
+The reference cross-checks its simulator against `cirq.Simulator`
+(reference: tests/inference/qnn_test.py:183-264); since this framework has no
+cirq dependency, the oracle here is exact dense linear algebra built from
+numpy krons, with cirq's gate/ordering conventions hand-coded.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qhbmlib_tpu.ops import adjoint, circuit_ir as ir, paulis, shift
+from qhbmlib_tpu.ops import statevector as sv
+
+RNG = np.random.RandomState(42)
+
+I2 = np.eye(2, dtype=np.complex128)
+PX = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+PY = np.array([[0, -1j], [1j, 0]], dtype=np.complex128)
+PZ = np.array([[1, 0], [0, -1]], dtype=np.complex128)
+PH = np.array([[1, 1], [1, -1]], dtype=np.complex128) / np.sqrt(2)
+
+
+def dense_power(mat, t):
+  """cirq-convention G**t for involution G."""
+  dim = mat.shape[0]
+  return np.exp(1j * np.pi * t / 2) * (
+      np.cos(np.pi * t / 2) * np.eye(dim) - 1j * np.sin(np.pi * t / 2) * mat)
+
+
+def embed(mat, qubits, n):
+  """Embeds a k-qubit dense matrix acting on `qubits` into n qubits."""
+  k = len(qubits)
+  mat_t = mat.reshape((2,) * (2 * k))
+  full = np.eye(2**n, dtype=np.complex128).reshape((2,) * (2 * n))
+  # Apply mat to columns: treat full as state batch over output index.
+  out = np.tensordot(mat_t, full, axes=(tuple(range(k, 2 * k)), qubits))
+  out = np.moveaxis(out, tuple(range(k)), qubits)
+  return out.reshape(2**n, 2**n)
+
+
+def oracle_gate(gate: ir.Gate, angle: float, n: int) -> np.ndarray:
+  if gate.kind == ir.RX:
+    m = np.cos(angle / 2) * I2 - 1j * np.sin(angle / 2) * PX
+  elif gate.kind == ir.RY:
+    m = np.cos(angle / 2) * I2 - 1j * np.sin(angle / 2) * PY
+  elif gate.kind == ir.RZ:
+    m = np.cos(angle / 2) * I2 - 1j * np.sin(angle / 2) * PZ
+  elif gate.kind == ir.XP:
+    m = dense_power(PX, angle)
+  elif gate.kind == ir.YP:
+    m = dense_power(PY, angle)
+  elif gate.kind == ir.ZP:
+    m = np.diag([1.0, np.exp(1j * np.pi * angle)])
+  elif gate.kind == ir.HP:
+    m = dense_power(PH, angle)
+  elif gate.kind == ir.CZP:
+    m = np.diag([1.0, 1.0, 1.0, np.exp(1j * np.pi * angle)])
+  elif gate.kind == ir.CXP:
+    m = np.block([[I2, np.zeros((2, 2))],
+                  [np.zeros((2, 2)), dense_power(PX, angle)]])
+  elif gate.kind == ir.XXP:
+    m = dense_power(np.kron(PX, PX), angle)
+  elif gate.kind == ir.YYP:
+    m = dense_power(np.kron(PY, PY), angle)
+  elif gate.kind == ir.ZZP:
+    m = dense_power(np.kron(PZ, PZ), angle)
+  elif gate.kind == ir.PROT:
+    p = np.eye(1, dtype=np.complex128)
+    full = {q: c for q, c in zip(gate.qubits, gate.paulis)}
+    mats = {1: PX, 2: PY, 3: PZ}
+    for q in range(n):
+      p = np.kron(p, mats[full[q]] if q in full else I2)
+    return (np.cos(angle) * np.eye(2**n) - 1j * np.sin(angle) * p)
+  elif gate.kind == ir.GPHASE:
+    return np.exp(1j * angle) * np.eye(2**n, dtype=np.complex128)
+  else:
+    raise ValueError(gate.kind)
+  return embed(m, gate.qubits, n)
+
+
+def oracle_unitary(circuit: ir.Circuit, values: np.ndarray) -> np.ndarray:
+  n = circuit.num_qubits
+  u = np.eye(2**n, dtype=np.complex128)
+  for g in circuit.gates:
+    angle = g.shift if g.slot < 0 else g.coeff * values[g.slot] + g.shift
+    u = oracle_gate(g, angle, n) @ u
+  return u
+
+
+def random_circuit(n, depth, seed=0):
+  rng = np.random.RandomState(seed)
+  b = ir.CircuitBuilder(n)
+  kinds_1q = [ir.XP, ir.YP, ir.ZP, ir.HP, ir.RX, ir.RY, ir.RZ]
+  kinds_2q = [ir.CZP, ir.CXP, ir.XXP, ir.YYP, ir.ZZP]
+  s = 0
+  for _ in range(depth):
+    for q in range(n):
+      b.add(kinds_1q[rng.randint(len(kinds_1q))], [q], f"s{s}",
+            coeff=float(rng.uniform(0.5, 1.5)), shift=float(rng.uniform(-1, 1)))
+      s += 1
+    if n >= 2:
+      q0, q1 = rng.choice(n, 2, replace=False)
+      b.add(kinds_2q[rng.randint(len(kinds_2q))], [int(q0), int(q1)], f"s{s}")
+      s += 1
+    if n >= 2 and rng.rand() < 0.5:
+      qs = sorted(rng.choice(n, 2, replace=False))
+      b.prot([int(qs[0]), int(qs[1])],
+             [int(rng.randint(1, 4)), int(rng.randint(1, 4))], f"s{s}")
+      s += 1
+  return b.build()
+
+
+@pytest.mark.parametrize("n,depth,seed", [(1, 3, 0), (2, 3, 1), (3, 2, 2),
+                                          (4, 2, 3)])
+def test_unitary_matches_oracle(n, depth, seed):
+  circuit = random_circuit(n, depth, seed)
+  values = jnp.asarray(RNG.uniform(-2, 2, circuit.num_symbols), jnp.float32)
+  actual = np.asarray(sv.unitary(circuit, values))
+  expected = oracle_unitary(circuit, np.asarray(values))
+  np.testing.assert_allclose(actual, expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_simulate_from_bits(n):
+  circuit = random_circuit(n, 2, seed=n)
+  values = jnp.asarray(RNG.uniform(-2, 2, circuit.num_symbols), jnp.float32)
+  u = oracle_unitary(circuit, np.asarray(values))
+  bits = sv.all_bitstrings(n)
+  states = sv.simulate_from_bits(circuit, values, jnp.asarray(bits))
+  for i in range(2**n):
+    np.testing.assert_allclose(
+        np.asarray(states[i]).reshape(-1), u[:, i], atol=1e-5)
+
+
+def test_append_and_inverse():
+  c1 = random_circuit(2, 2, seed=10)
+  c2 = random_circuit(2, 1, seed=11)
+  # Rename c2 symbols to be disjoint.
+  c2 = ir.Circuit(c2.num_qubits, c2.gates,
+                  tuple(f"other_{s}" for s in c2.symbol_names))
+  combined = c1.append(c2)
+  v1 = RNG.uniform(-1, 1, c1.num_symbols)
+  v2 = RNG.uniform(-1, 1, c2.num_symbols)
+  values = jnp.asarray(np.concatenate([v1, v2]), jnp.float32)
+  u = np.asarray(sv.unitary(combined, values))
+  expected = oracle_unitary(c2, v2) @ oracle_unitary(c1, v1)
+  np.testing.assert_allclose(u, expected, atol=1e-5)
+
+  inv = combined.inverse()
+  u_inv = np.asarray(sv.unitary(inv, values))
+  np.testing.assert_allclose(u_inv @ expected, np.eye(4), atol=1e-5)
+
+
+def test_shared_symbols_append_remaps_slots():
+  b1 = ir.CircuitBuilder(1)
+  b1.rx(0, "a")
+  b2 = ir.CircuitBuilder(1)
+  b2.rx(0, "a").rx(0, "b")
+  combined = b1.build().append(b2.build())
+  assert combined.symbol_names == ("a", "b")
+  values = jnp.asarray([0.7, 0.3], jnp.float32)
+  u = np.asarray(sv.unitary(combined, values))
+  expected = oracle_unitary(b2.build(), np.asarray([0.7, 0.3])) @ oracle_unitary(
+      b1.build(), np.asarray([0.7]))
+  np.testing.assert_allclose(u, expected, atol=1e-5)
+
+
+def test_pauli_sum_expectation_matches_dense():
+  n = 3
+  circuit = random_circuit(n, 2, seed=5)
+  values = jnp.asarray(RNG.uniform(-2, 2, circuit.num_symbols), jnp.float32)
+  op = paulis.pauli_sum_from_strings(
+      n, [(0.5, {0: "X", 1: "Y"}), (-1.2, {2: "Z"}), (0.7, {0: "Z", 1: "Z", 2: "X"})])
+  state = sv.simulate(circuit, values)
+  actual = float(sv.expectation(state, op))
+  psi = np.asarray(state).reshape(-1)
+  expected = np.real(psi.conj() @ np.asarray(op.dense(), np.complex128) @ psi)
+  np.testing.assert_allclose(actual, expected, atol=1e-5)
+
+
+def test_sampling_statistics():
+  n = 2
+  b = ir.CircuitBuilder(n)
+  b.ry(0, "t0").ry(1, "t1")
+  circuit = b.build()
+  values = jnp.asarray([0.9, 2.1], jnp.float32)
+  state = sv.simulate(circuit, values)
+  probs = np.asarray(sv.probabilities(state))
+  samples = sv.sample_bitstrings(jax.random.PRNGKey(7), state, 200000)
+  idx = np.asarray(samples) @ np.asarray([2, 1])
+  hist = np.bincount(idx, minlength=4) / 200000.0
+  np.testing.assert_allclose(hist, probs, atol=5e-3)
+  # Seeded determinism.
+  samples2 = sv.sample_bitstrings(jax.random.PRNGKey(7), state, 100)
+  samples3 = sv.sample_bitstrings(jax.random.PRNGKey(7), state, 100)
+  np.testing.assert_array_equal(np.asarray(samples2), np.asarray(samples3))
+
+
+class TestGradients:
+  """Adjoint and parameter-shift gradients vs autodiff and stencil."""
+
+  def _setup(self, n=3, depth=2, seed=3):
+    circuit = random_circuit(n, depth, seed)
+    values = jnp.asarray(RNG.uniform(-1, 1, circuit.num_symbols), jnp.float32)
+    terms = [(1.0, {0: "Z"}), (0.5, {0: "X", 1 % n: "X"})]
+    if n >= 3:
+      terms.append((-0.8, {1: "Y", 2: "Z"}))
+    op = paulis.pauli_sum_from_strings(n, terms)
+    return circuit, values, op
+
+  def test_adjoint_matches_autodiff(self):
+    circuit, values, op = self._setup()
+    init = sv.zero_state(circuit.num_qubits)
+
+    def f_adj(v):
+      return adjoint.expectation(circuit, v, init, op)
+
+    def f_auto(v):
+      state = sv.apply_circuit(circuit, v, init)
+      return sv.expectation(state, op)
+
+    np.testing.assert_allclose(float(f_adj(values)), float(f_auto(values)),
+                               atol=1e-5)
+    g_adj = jax.grad(f_adj)(values)
+    g_auto = jax.grad(f_auto)(values)
+    np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_auto),
+                               atol=1e-4)
+
+  def test_adjoint_coeff_gradients(self):
+    circuit, values, op = self._setup()
+    init = sv.zero_state(circuit.num_qubits)
+
+    def f(coeffs):
+      op2 = paulis.PauliSum(op.codes, coeffs, op.num_qubits)
+      return adjoint.expectation(circuit, values, init, op2)
+
+    g = jax.grad(f)(op.coeffs)
+    # dE/dc_t = <P_t>
+    state = sv.apply_circuit(circuit, values, init)
+    expected = np.asarray(sv.expectation_terms(state, op))
+    np.testing.assert_allclose(np.asarray(g), expected, atol=1e-5)
+
+  def test_parameter_shift_matches_autodiff(self):
+    circuit, values, op = self._setup(seed=8)
+    init = sv.zero_state(circuit.num_qubits)
+
+    def eval_fn(offsets):
+      state = sv.apply_circuit(circuit, values, init, angle_offsets=offsets)
+      return sv.expectation(state, op)
+
+    g_shift = shift.shift_gradient(circuit, eval_fn, circuit.num_symbols)
+
+    def f_auto(v):
+      state = sv.apply_circuit(circuit, v, init)
+      return sv.expectation(state, op)
+
+    g_auto = jax.grad(f_auto)(values)
+    np.testing.assert_allclose(np.asarray(g_shift), np.asarray(g_auto),
+                               atol=1e-4)
+
+  def test_batched_expectations_grad(self):
+    circuit, values, op = self._setup(n=2, depth=1, seed=9)
+    shard0 = paulis.pauli_string(2, {0: "Z"})
+    shard1 = paulis.pauli_string(2, {1: "Z"})
+    bits = jnp.asarray([[0, 0], [1, 0], [1, 1]], jnp.int8)
+
+    def f(v):
+      e = adjoint.batched_expectations(circuit, v, bits, (shard0, shard1))
+      return jnp.sum(e * jnp.asarray([[1.0, -0.5]]))
+
+    def f_auto(v):
+      states = sv.simulate_from_bits(circuit, v, bits)
+      outs = []
+      for i in range(3):
+        outs.append(jnp.stack([sv.expectation(states[i], shard0),
+                               sv.expectation(states[i], shard1)]))
+      return jnp.sum(jnp.stack(outs) * jnp.asarray([[1.0, -0.5]]))
+
+    np.testing.assert_allclose(float(f(values)), float(f_auto(values)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(values)),
+                               np.asarray(jax.grad(f_auto)(values)), atol=1e-4)
+
+
+def test_exp_pauli_sum_trotter():
+  """exp(-i t H) for commuting H matches expm."""
+  n = 2
+  h = paulis.pauli_sum_from_strings(n, [(0.7, {0: "Z", 1: "Z"}),
+                                        (-0.3, {0: "Z"})])
+  circuit = ir.exp_pauli_sum(h, symbol="t")
+  t = 0.37
+  u = np.asarray(sv.unitary(circuit, jnp.asarray([t], jnp.float32)))
+  from scipy.linalg import expm
+  expected = expm(-1j * t * np.asarray(h.dense(), np.complex128))
+  np.testing.assert_allclose(u, expected, atol=1e-5)
