@@ -1,0 +1,4 @@
+"""Quantum data interfaces (mirrors reference qhbmlib/data/__init__.py)."""
+
+from qhbmlib_tpu.data.qhbm_data import QHBMData
+from qhbmlib_tpu.data.quantum_data import QuantumData

@@ -1,0 +1,425 @@
+"""Inference on parameterized quantum circuits.
+
+TPU-native rebuild of reference qhbmlib/inference/qnn.py:29-292:
+
+  * `AnalyticQuantumInference` -- exact expectations via the statevector
+    engine with adjoint (`custom_vjp`) gradients, replacing
+    `tfq.layers.Expectation` (reference qnn.py:87-139).
+  * `SampledQuantumInference` -- shot-based expectations via basis-rotated
+    sampling with parameter-shift gradients, replacing
+    `tfq.layers.SampledExpectation`/`Sample` + the ParameterShift
+    differentiator (reference qnn.py:142-292).  Shifted evaluations run as a
+    vmapped batch of per-gate angle offsets over ONE compiled circuit instead
+    of a batch of generated programs.
+
+Pure methods take explicit flat variable lists; observables' coefficients and
+parameters are explicit arguments so gradients flow to them.
+"""
+
+from __future__ import annotations
+
+import abc
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qhbmlib_tpu import utils
+from qhbmlib_tpu.models import circuit as circuit_model
+from qhbmlib_tpu.models import energy as energy_model
+from qhbmlib_tpu.models import hamiltonian as hamiltonian_model
+from qhbmlib_tpu.ops import adjoint
+from qhbmlib_tpu.ops import circuit_ir as ir
+from qhbmlib_tpu.ops import paulis
+from qhbmlib_tpu.ops import shift
+from qhbmlib_tpu.ops import statevector as sv
+
+Observable = Union[paulis.PauliSum, Sequence[paulis.PauliSum],
+                   hamiltonian_model.Hamiltonian]
+
+
+def _as_pauli_tuple(observables) -> Tuple[paulis.PauliSum, ...]:
+  if isinstance(observables, paulis.PauliSum):
+    return (observables,)
+  return tuple(observables)
+
+
+class QuantumInference(abc.ABC):
+  """Interface for inference on quantum circuits (reference qnn.py:29-84)."""
+
+  def __init__(self,
+               input_circuit: circuit_model.QuantumCircuit,
+               name: Optional[str] = None):
+    self._circuit = input_circuit
+    self.name = name or type(self).__name__
+    self._total_cache = {}
+
+  @property
+  def circuit(self) -> circuit_model.QuantumCircuit:
+    return self._circuit
+
+  @property
+  def phi(self) -> Sequence[jnp.ndarray]:
+    """Current flat trainable variables of the circuit."""
+    return self._circuit.trainable_variables
+
+  def _total_circuit(self, observables) -> circuit_model.QuantumCircuit:
+    """self.circuit + observables.circuit_dagger, cached per Hamiltonian."""
+    key = id(observables)
+    if key not in self._total_cache:
+      self._total_cache[key] = self._circuit + observables.circuit_dagger
+    return self._total_cache[key]
+
+  def expectation(self, initial_states: jnp.ndarray,
+                  observables: Observable) -> jnp.ndarray:
+    """Expectation values of observables against the QNN (stateful).
+
+    Args:
+      initial_states: [batch, n] int bitstrings; each is prepared as a basis
+        state, evolved by the circuit, and measured.
+      observables: a PauliSum (or sequence of PauliSums), or a Hamiltonian.
+
+    Returns:
+      [batch, n_ops] expectations (n_ops == 1 for a Hamiltonian).
+    """
+    initial_states = jnp.asarray(initial_states)
+    unique_states, idx, _ = utils.unique_bitstrings_with_counts(initial_states)
+    if isinstance(observables, hamiltonian_model.Hamiltonian):
+      unique_exp = self.expectation_pure(
+          self.phi, unique_states, observables,
+          obs_circuit_params=observables.circuit.trainable_variables,
+          obs_energy_params=observables.energy.trainable_variables)
+    else:
+      unique_exp = self.expectation_pure(self.phi, unique_states, observables)
+    return utils.expand_unique_results(unique_exp, idx)
+
+  @abc.abstractmethod
+  def expectation_pure(self,
+                       phi,
+                       initial_states,
+                       observables,
+                       obs_circuit_params=None,
+                       obs_energy_params=None,
+                       key=None) -> jnp.ndarray:
+    """Pure expectation: [batch, n_ops]."""
+
+
+class AnalyticQuantumInference(QuantumInference):
+  """Exact expectations with adjoint gradients (reference qnn.py:87-139)."""
+
+  def expectation_pure(self,
+                       phi,
+                       initial_states,
+                       observables,
+                       obs_circuit_params=None,
+                       obs_energy_params=None,
+                       key=None) -> jnp.ndarray:
+    del key
+    bits = jnp.asarray(initial_states)
+    if isinstance(observables, hamiltonian_model.Hamiltonian):
+      if not isinstance(observables.energy, energy_model.PauliMixin):
+        raise TypeError("General Hamiltonians not accepted.  "
+                        "Please use `SampledQuantumInference` instead.")
+      total = self._total_circuit(observables)
+      flat = list(phi) + list(obs_circuit_params)
+      values = total.resolved_values_flat(flat)
+      shard_exps = adjoint.batched_expectations(
+          total.pqc, values, bits, observables.operator_shards)  # [B, S]
+      post = jax.vmap(
+          lambda row: observables.energy.operator_expectation_flat(
+              obs_energy_params, row))(shard_exps)
+      return post[:, None]
+    ops = _as_pauli_tuple(observables)
+    values = self._circuit.resolved_values_flat(phi)
+    return adjoint.batched_expectations(self._circuit.pqc, values, bits, ops)
+
+
+# ---------------------------------------------------------------------------
+# Sampled engine
+# ---------------------------------------------------------------------------
+
+def _measurement_rotation(pqc: ir.Circuit,
+                          codes: Sequence[int]) -> ir.Circuit:
+  """Appends the basis rotation mapping each term's Paulis onto Z."""
+  b = ir.CircuitBuilder(pqc.num_qubits)
+  for q, c in enumerate(codes):
+    if c == paulis.X:
+      b.h(q)
+    elif c == paulis.Y:
+      b.rx(q, shift=np.pi / 2)  # Rx(pi/2): Y -> Z
+  return pqc.append(b.build())
+
+
+def _term_parity_mean(probs: jnp.ndarray, mask: np.ndarray, key, shots: int):
+  """Mean parity over `shots` samples of the masked qubits."""
+  logits = jnp.log(jnp.maximum(probs, 1e-38))
+  idx = jax.random.categorical(key, logits, shape=(shots,))
+  n = mask.shape[0]
+  bits = ((idx[:, None] >> jnp.asarray(
+      np.arange(n - 1, -1, -1), jnp.int32)) & 1)
+  par = 1 - 2 * (jnp.sum(bits * jnp.asarray(mask, jnp.int32), axis=-1) % 2)
+  return jnp.mean(par.astype(jnp.float32))
+
+
+def _sampled_term_means_one(circuits_per_term, values, init_bits, key, shots,
+                            angle_offsets=None):
+  """[T] sampled <P_t> (coefficient-free) for one initial state."""
+  outs = []
+  for t, (rot_circuit, mask) in enumerate(circuits_per_term):
+    n = rot_circuit.num_qubits
+    state = sv.basis_state(n, init_bits)
+    # angle_offsets apply to the ORIGINAL circuit gates; rotation gates that
+    # were appended are constant, so pad with zeros.
+    offs = None
+    if angle_offsets is not None:
+      pad = rot_circuit.num_gates - angle_offsets.shape[0]
+      offs = jnp.concatenate(
+          [angle_offsets, jnp.zeros([pad], jnp.float32)])
+    psi = sv.apply_circuit(rot_circuit, values, state, angle_offsets=offs)
+    outs.append(
+        _term_parity_mean(sv.probabilities(psi), mask,
+                          jax.random.fold_in(key, t), shots))
+  return jnp.stack(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _sampled_term_means(plan, pqc: ir.Circuit, shots: int,
+                        values: jnp.ndarray, init_bits: jnp.ndarray,
+                        key: jax.Array) -> jnp.ndarray:
+  """Sampled per-term expectations [B, T] with parameter-shift gradients.
+
+  `plan` is a static tuple of (rotated_circuit, zmask) per term.  Coefficients
+  are applied OUTSIDE so their gradients flow through plain autodiff.
+  """
+  def one(bits, k):
+    return _sampled_term_means_one(plan, values, bits, k, shots)
+
+  keys = jax.random.split(key, init_bits.shape[0])
+  return jax.vmap(one)(init_bits, keys)
+
+
+def _stm_fwd(plan, pqc, shots, values, init_bits, key):
+  out = _sampled_term_means(plan, pqc, shots, values, init_bits, key)
+  return out, (values, init_bits, key)
+
+
+def _stm_bwd(plan, pqc, shots, res, g):
+  """Parameter-shift backward: fresh shots per shifted evaluation, mirroring
+  the reference's re-sampled gradient circuits (reference qnn.py:189-234)."""
+  values, init_bits, key = res
+  offsets, weights, slots = shift.shift_plan(pqc)
+  num_symbols = values.shape[0]
+  if offsets.shape[0] == 0:
+    return jnp.zeros_like(values), None, None
+
+  def eval_one(offset_row, r):
+    def per_state(bits, k):
+      return _sampled_term_means_one(plan, values, bits, k, shots,
+                                     angle_offsets=offset_row)
+    keys = jax.random.split(jax.random.fold_in(key, r + 1),
+                            init_bits.shape[0])
+    return jax.vmap(per_state)(init_bits, keys)  # [B, T]
+
+  evals = jax.vmap(eval_one)(jnp.asarray(offsets),
+                             jnp.arange(offsets.shape[0]))  # [R, B, T]
+  contribs = jnp.einsum("rbt,bt->r", evals, g) * jnp.asarray(weights)
+  values_bar = jnp.zeros([num_symbols], jnp.float32).at[
+      jnp.asarray(slots)].add(contribs)
+  return values_bar, None, None
+
+
+_sampled_term_means.defvjp(_stm_fwd, _stm_bwd)
+
+
+class SampledQuantumInference(QuantumInference):
+  """Shot-based expectations with parameter-shift gradients
+  (reference qnn.py:142-292)."""
+
+  def __init__(self,
+               input_circuit: circuit_model.QuantumCircuit,
+               expectation_samples: int,
+               name: Optional[str] = None,
+               initial_seed=None):
+    super().__init__(input_circuit, name)
+    self.expectation_samples = int(expectation_samples)
+    self._update_seed = initial_seed is None
+    self._key = (jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+                 if initial_seed is None else
+                 (jax.random.PRNGKey(initial_seed)
+                  if isinstance(initial_seed, int) else initial_seed))
+    self._plan_cache = {}
+
+  def _next_key(self):
+    if self._update_seed:
+      self._key, sub = jax.random.split(self._key)
+      return sub
+    return self._key
+
+  def _measurement_plan(self, pqc: ir.Circuit,
+                        ops: Tuple[paulis.PauliSum, ...]):
+    """Static per-term (rotated circuit, parity mask) plan, cached."""
+    cache_key = (id(pqc),) + tuple(id(op) for op in ops)
+    if cache_key not in self._plan_cache:
+      plan = []
+      slices = []
+      start = 0
+      for op in ops:
+        for t in range(op.num_terms):
+          codes = op.codes[t]
+          mask = np.asarray([1 if c != paulis.I else 0 for c in codes],
+                            np.int32)
+          plan.append((_measurement_rotation(pqc, codes), mask))
+        slices.append((start, start + op.num_terms))
+        start += op.num_terms
+      self._plan_cache[cache_key] = (tuple(plan), tuple(slices))
+    return self._plan_cache[cache_key]
+
+  def expectation(self, initial_states, observables):
+    initial_states = jnp.asarray(initial_states)
+    unique_states, idx, _ = utils.unique_bitstrings_with_counts(initial_states)
+    if isinstance(observables, hamiltonian_model.Hamiltonian):
+      unique_exp = self.expectation_pure(
+          self.phi, unique_states, observables,
+          obs_circuit_params=observables.circuit.trainable_variables,
+          obs_energy_params=observables.energy.trainable_variables,
+          key=self._next_key())
+    else:
+      unique_exp = self.expectation_pure(self.phi, unique_states, observables,
+                                         key=self._next_key())
+    return utils.expand_unique_results(unique_exp, idx)
+
+  def expectation_pure(self,
+                       phi,
+                       initial_states,
+                       observables,
+                       obs_circuit_params=None,
+                       obs_energy_params=None,
+                       key=None) -> jnp.ndarray:
+    if key is None:
+      key = self._next_key()
+    bits = jnp.asarray(initial_states)
+    if isinstance(observables, hamiltonian_model.Hamiltonian):
+      total = self._total_circuit(observables)
+      flat = list(phi) + list(obs_circuit_params)
+      values = total.resolved_values_flat(flat)
+      if isinstance(observables.energy, energy_model.PauliMixin):
+        plan, slices = self._measurement_plan(total.pqc,
+                                              observables.operator_shards)
+        term_means = _sampled_term_means(plan, total.pqc,
+                                         self.expectation_samples, values,
+                                         bits, key)  # [B, T]
+        coeffs = jnp.concatenate(
+            [jnp.atleast_1d(s.coeffs) for s in observables.operator_shards])
+        weighted = term_means * jnp.real(coeffs)[None, :]
+        shard_exps = jnp.stack(
+            [jnp.sum(weighted[:, a:b], axis=1) for a, b in slices], axis=1)
+        post = jax.vmap(
+            lambda row: observables.energy.operator_expectation_flat(
+                obs_energy_params, row))(shard_exps)
+        return post[:, None]
+      # General BitstringEnergy observable: sample measurement bitstrings and
+      # push them through the energy (reference qnn.py:170-238).
+      return _sampled_energy_expectation(
+          total.pqc, self.expectation_samples,
+          lambda th, samples: observables.energy.apply_flat(th, samples),
+          values, obs_energy_params, bits, key)[:, None]
+    ops = _as_pauli_tuple(observables)
+    values = self._circuit.resolved_values_flat(phi)
+    plan, slices = self._measurement_plan(self._circuit.pqc, ops)
+    term_means = _sampled_term_means(plan, self._circuit.pqc,
+                                     self.expectation_samples, values, bits,
+                                     key)
+    coeffs = jnp.concatenate([jnp.atleast_1d(op.coeffs) for op in ops])
+    weighted = term_means * jnp.real(coeffs)[None, :]
+    return jnp.stack([jnp.sum(weighted[:, a:b], axis=1) for a, b in slices],
+                     axis=1)
+
+  def sample(self, initial_states, counts):
+    """Measurement samples from the QNN applied to each initial state.
+
+    Replaces the reference's ragged output (reference qnn.py:266-292) with a
+    fixed-shape (samples [B, max_count, n], mask [B, max_count]) pair where
+    `mask[i, j] = j < counts[i]`.
+    """
+    initial_states = jnp.asarray(initial_states)
+    counts = jnp.asarray(counts)
+    max_count = int(jnp.max(counts))
+    values = self._circuit.resolved_values
+    n = self._circuit.num_qubits
+    key = self._next_key()
+
+    def one(bits, k):
+      state = sv.apply_circuit(self._circuit.pqc, values,
+                               sv.basis_state(n, bits))
+      return sv.sample_bitstrings(k, state, max_count)
+
+    keys = jax.random.split(key, initial_states.shape[0])
+    samples = jax.vmap(one)(initial_states, keys)
+    mask = jnp.arange(max_count)[None, :] < counts[:, None]
+    return samples, mask
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _sampled_energy_expectation(pqc: ir.Circuit, shots: int, energy_apply,
+                                values: jnp.ndarray, energy_params,
+                                init_bits: jnp.ndarray,
+                                key: jax.Array) -> jnp.ndarray:
+  """[B] sampled <K> where K's eigenbasis measurement feeds an energy fn."""
+  return _see_forward(pqc, shots, energy_apply, values, energy_params,
+                      init_bits, key, None)
+
+
+def _see_forward(pqc, shots, energy_apply, values, energy_params, init_bits,
+                 key, angle_offsets):
+  n = pqc.num_qubits
+
+  def one(bits, k):
+    state = sv.apply_circuit(pqc, values, sv.basis_state(n, bits),
+                             angle_offsets=angle_offsets)
+    samples = sv.sample_bitstrings(k, state, shots)
+    return jnp.mean(energy_apply(energy_params, samples))
+
+  keys = jax.random.split(key, init_bits.shape[0])
+  return jax.vmap(one)(init_bits, keys)
+
+
+def _see_fwd(pqc, shots, energy_apply, values, energy_params, init_bits, key):
+  out = _see_forward(pqc, shots, energy_apply, values, energy_params,
+                     init_bits, key, None)
+  return out, (values, energy_params, init_bits, key)
+
+
+def _see_bwd(pqc, shots, energy_apply, res, g):
+  values, energy_params, init_bits, key = res
+
+  # Energy-parameter gradients: same samples (same key), tape through energy.
+  def fwd_e(ep):
+    return _see_forward(pqc, shots, energy_apply, values, ep, init_bits, key,
+                        None)
+
+  _, vjp_e = jax.vjp(fwd_e, energy_params)
+  (energy_bar,) = vjp_e(g)
+
+  # Circuit-parameter gradients: parameter shift with fresh shots.
+  offsets, weights, slots = shift.shift_plan(pqc)
+  if offsets.shape[0] == 0:
+    values_bar = jnp.zeros_like(values)
+  else:
+    frozen_ep = jax.lax.stop_gradient(energy_params)
+
+    def eval_one(offset_row, r):
+      return _see_forward(pqc, shots, energy_apply, values, frozen_ep,
+                          init_bits, jax.random.fold_in(key, r + 1),
+                          offset_row)
+
+    evals = jax.vmap(eval_one)(jnp.asarray(offsets),
+                               jnp.arange(offsets.shape[0]))  # [R, B]
+    contribs = jnp.einsum("rb,b->r", evals, g) * jnp.asarray(weights)
+    values_bar = jnp.zeros_like(values).at[jnp.asarray(slots)].add(contribs)
+
+  return values_bar, energy_bar, None, None
+
+
+_sampled_energy_expectation.defvjp(_see_fwd, _see_bwd)
