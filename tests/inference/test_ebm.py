@@ -1,0 +1,216 @@
+"""Tests for EBM inference (analog of reference tests/inference/ebm_test.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qhbmlib_tpu import models, nn
+from qhbmlib_tpu.inference import ebm
+from qhbmlib_tpu.ops import statevector as sv
+from tests import test_util
+
+
+def _random_kobe(n, seed=0):
+  return models.KOBE(list(range(n)), 2, nn.RandomUniform(-1, 1, seed=seed))
+
+
+class TestAnalyticEnergyInference:
+
+  def test_sample_histogram_matches_softmax(self):
+    n = 3
+    energy = _random_kobe(n, seed=1)
+    infer = ebm.AnalyticEnergyInference(energy, 100000, initial_seed=5)
+    samples = infer.sample(100000)
+    idx = np.asarray(samples).astype(np.int64) @ (2**np.arange(n - 1, -1, -1))
+    hist = np.bincount(idx, minlength=2**n) / 100000.0
+    probs = np.asarray(jax.nn.softmax(-energy(infer.all_bitstrings)))
+    np.testing.assert_allclose(hist, probs, atol=6e-3)
+    # Non-uniformity guard: distribution must differ from uniform.
+    assert np.abs(probs - 1 / 2**n).max() > 1e-3
+
+  def test_seeded_determinism(self):
+    energy = _random_kobe(3, seed=2)
+    infer = ebm.AnalyticEnergyInference(energy, 100, initial_seed=7)
+    s1 = infer.sample(50)
+    s2 = infer.sample(50)
+    # Fixed seed -> identical samples on every call (reference
+    # ebm.py:89-123 fixed-seed semantics).
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    infer.seed = None
+    s3 = infer.sample(50)
+    s4 = infer.sample(50)
+    assert not np.array_equal(np.asarray(s3), np.asarray(s4))
+
+  def test_entropy_and_log_partition_exact(self):
+    n = 4
+    energy = _random_kobe(n, seed=3)
+    infer = ebm.AnalyticEnergyInference(energy, 100, initial_seed=1)
+    energies = np.asarray(energy(infer.all_bitstrings), np.float64)
+    z = np.exp(-energies).sum()
+    probs = np.exp(-energies) / z
+    np.testing.assert_allclose(float(infer.log_partition()), np.log(z),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(infer.entropy()),
+                               -(probs * np.log(probs)).sum(), rtol=1e-5)
+
+  def test_expectation_value(self):
+    n = 3
+    energy = _random_kobe(n, seed=4)
+    infer = ebm.AnalyticEnergyInference(energy, 200000, initial_seed=9)
+    probs = np.asarray(jax.nn.softmax(-energy(infer.all_bitstrings)),
+                       np.float64)
+    f = lambda bits: jnp.sum(bits.astype(jnp.float32), -1)
+    vals = np.asarray(sv.all_bitstrings(n)).sum(-1)
+    expected = (probs * vals).sum()
+    actual = float(infer.expectation(f))
+    np.testing.assert_allclose(actual, expected, rtol=2e-2)
+
+  def test_expectation_finite_difference(self):
+    """Eq. A5 custom gradient vs five-point stencil, exact mode
+    (analog of reference ebm_test.py:456)."""
+    n = 3
+    energy = _random_kobe(n, seed=5)
+    infer = ebm.AnalyticEnergyInference(energy, 500, exact=True)
+    key = jax.random.PRNGKey(0)
+
+    def f(fp, bits):
+      # A nonlinear function of bits with its own parameter.
+      return jnp.cos(jnp.sum(bits.astype(jnp.float32) * fp, -1))
+
+    f_param = jnp.asarray([0.3, -1.1, 0.7])
+
+    def loss(theta):
+      return infer.expectation_pure(theta, f, f_param, key)
+
+    actual = jax.grad(loss)(energy.trainable_variables)
+    expected = test_util.approximate_gradient(loss,
+                                              energy.trainable_variables)
+    for a, e in zip(actual, expected):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-3,
+                                 atol=1e-5)
+      assert np.abs(np.asarray(e)).max() > 1e-4  # non-zero guard
+
+  def test_log_partition_gradient(self):
+    """Eq. C2 gradient vs exact: dlogZ/dtheta = -<dE/dtheta>_p."""
+    n = 3
+    energy = _random_kobe(n, seed=6)
+    infer = ebm.AnalyticEnergyInference(energy, 500, exact=True)
+    key = jax.random.PRNGKey(0)
+
+    def logz(theta):
+      return infer.log_partition_pure(theta, key)
+
+    actual = jax.grad(logz)(energy.trainable_variables)
+    expected = test_util.approximate_gradient(logz,
+                                              energy.trainable_variables)
+    for a, e in zip(actual, expected):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-3,
+                                 atol=1e-5)
+
+  def test_too_many_bits_raises(self):
+    with pytest.raises(ValueError):
+      ebm.AnalyticEnergyInference(_random_kobe(2), 10).__class__(
+          models.BernoulliEnergy(list(range(23))), 10)
+
+
+class TestBernoulliEnergyInference:
+
+  def test_sample_statistics(self):
+    n = 4
+    energy = models.BernoulliEnergy(list(range(n)),
+                                    nn.RandomUniform(-1, 1, seed=7))
+    infer = ebm.BernoulliEnergyInference(energy, 100000, initial_seed=3)
+    samples = np.asarray(infer.sample(100000))
+    p_hat = samples.mean(0)
+    p = np.asarray(jax.nn.sigmoid(energy.logits))
+    np.testing.assert_allclose(p_hat, p, atol=6e-3)
+
+  def test_entropy_closed_form(self):
+    n = 3
+    energy = models.BernoulliEnergy(list(range(n)),
+                                    nn.RandomUniform(-2, 2, seed=8))
+    infer = ebm.BernoulliEnergyInference(energy, 100)
+    p = np.asarray(jax.nn.sigmoid(energy.logits), np.float64)
+    expected = -(p * np.log(p) + (1 - p) * np.log(1 - p)).sum()
+    np.testing.assert_allclose(float(infer.entropy()), expected, rtol=1e-5)
+
+  def test_log_partition_closed_form(self):
+    n = 3
+    energy = models.BernoulliEnergy(list(range(n)),
+                                    nn.RandomUniform(-2, 2, seed=9))
+    infer = ebm.BernoulliEnergyInference(energy, 100)
+    thetas = np.asarray(energy.logits, np.float64) / 2
+    expected = np.log(2 * np.cosh(thetas)).sum()
+    np.testing.assert_allclose(float(infer.log_partition()), expected,
+                               rtol=1e-5)
+
+  def test_large_n_unique_path(self):
+    """n > enum threshold goes through padded-unique support."""
+    n = ebm.DEFAULT_ENUM_BITS + 2
+    energy = models.BernoulliEnergy(list(range(n)),
+                                    nn.RandomUniform(1.0, 2.0, seed=10))
+    infer = ebm.BernoulliEnergyInference(energy, 2000, initial_seed=1,
+                                         max_unique_samples=2048)
+    # With strongly positive thetas, p(bit=1) ~ sigmoid(2*theta) > 0.88,
+    # so <sum(bits)> = sum(p).
+    f = lambda bits: jnp.sum(bits.astype(jnp.float32), -1)
+    p = np.asarray(jax.nn.sigmoid(energy.logits), np.float64)
+    actual = float(infer.expectation(f))
+    np.testing.assert_allclose(actual, p.sum(), rtol=5e-2)
+
+
+class TestGibbsWithGradients:
+
+  def test_chain_histogram(self):
+    """MCMC samples converge to softmax(-E) (analog of reference
+    ebm_test.py:879-941)."""
+    n = 3
+    energy = _random_kobe(n, seed=11)
+    infer = ebm.GibbsWithGradientsInference(
+        energy, 20000, num_burnin_samples=500, num_chains=8, initial_seed=4)
+    samples = infer.sample(20000)
+    idx = np.asarray(samples).astype(np.int64) @ (2**np.arange(n - 1, -1, -1))
+    hist = np.bincount(idx, minlength=2**n) / idx.shape[0]
+    all_bits = jnp.asarray(sv.all_bitstrings(n))
+    probs = np.asarray(jax.nn.softmax(-energy(all_bits)))
+    # Full support.
+    assert (hist > 0).all()
+    np.testing.assert_allclose(hist, probs, atol=3e-2)
+
+  def test_burn_in_on_parameter_change(self):
+    """Changing energy weights re-equilibrates the chain (analog of the
+    reference's preface-inference mutation test, qhbm_test.py:113-150)."""
+    n = 8
+    energy = models.BernoulliEnergy(list(range(n)),
+                                    nn.Constant(2.0))
+    infer = ebm.GibbsWithGradientsInference(
+        energy, 100, num_burnin_samples=300, num_chains=4, initial_seed=6)
+    s1 = np.asarray(infer.sample(400))
+    # theta=2 => p(bit=1) = sigmoid(4) ~ 0.98... energy E = sum theta*s,
+    # spins s=1-2b, E low when bits are 1.
+    assert s1.mean() > 0.9
+    energy.set_trainable_variables([jnp.full([n], -2.0)])
+    s2 = np.asarray(infer.sample(400))
+    assert s2.mean() < 0.1
+
+  def test_expectation_gradient_matches_analytic(self):
+    """GWG-sampled eq. A5 gradient approximates the exact one."""
+    n = 3
+    energy = _random_kobe(n, seed=12)
+    theta = energy.trainable_variables
+    gwg = ebm.GibbsWithGradientsInference(
+        energy, 30000, num_burnin_samples=500, num_chains=16, initial_seed=8)
+    exact = ebm.AnalyticEnergyInference(energy, 1000, exact=True)
+    key = jax.random.PRNGKey(1)
+
+    def f(fp, bits):
+      del fp
+      return jnp.prod(1.0 - 2.0 * bits.astype(jnp.float32), -1)
+
+    g_gwg = jax.grad(lambda th: gwg.expectation_pure(th, f, None, key))(theta)
+    g_exact = jax.grad(
+        lambda th: exact.expectation_pure(th, f, None, key))(theta)
+    for a, e in zip(g_gwg, g_exact):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=6e-2)
