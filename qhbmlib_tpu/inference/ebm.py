@@ -230,9 +230,15 @@ class AnalyticEnergyInference(EnergyInference):
                num_expectation_samples: int,
                initial_seed=None,
                name: Optional[str] = None,
-               exact: bool = False):
+               exact: bool = False,
+               max_unique_samples: Optional[int] = None):
     """Args mirror the reference; `exact=True` replaces sampled counts with
-    expected counts N*p(x) for deterministic, exact estimates/gradients."""
+    expected counts N*p(x) for deterministic, exact estimates/gradients.
+    `max_unique_samples` caps the sampled support size; defaults to the full
+    2^n enumeration for n <= 10 (cheap, identical estimator) and to
+    min(2^12, num_samples) above (so expensive downstream functions -- i.e.
+    quantum expectations -- only run on the unique sampled support, matching
+    reference ebm.py:262-280)."""
     super().__init__(input_energy, num_expectation_samples, initial_seed, name)
     n = input_energy.num_bits
     if n > 22:
@@ -244,6 +250,9 @@ class AnalyticEnergyInference(EnergyInference):
     self._all_bitstrings = jnp.asarray(((idx[:, None] >> shifts) & 1),
                                        jnp.int8)
     self.exact = exact
+    if max_unique_samples is None and n > 10:
+      max_unique_samples = min(2**12, num_expectation_samples)
+    self.max_unique_samples = max_unique_samples
 
   @property
   def all_bitstrings(self) -> jnp.ndarray:
@@ -266,13 +275,21 @@ class AnalyticEnergyInference(EnergyInference):
 
   def support_and_counts(self, theta, key):
     logits = jax.lax.stop_gradient(self.logits_pure(theta))
-    support = self._all_bitstrings.astype(jnp.float32)
     if self.exact:
+      support = self._all_bitstrings.astype(jnp.float32)
       counts = jax.nn.softmax(logits) * self.num_expectation_samples
-    else:
+      return support, counts
+    if self.max_unique_samples is None:
+      # Small n: bincount over the full enumeration -- identical estimator to
+      # sample+dedup (it IS the dedup), with static 2^n support.
+      support = self._all_bitstrings.astype(jnp.float32)
       counts = categorical_counts(key, logits, self.num_expectation_samples,
                                   logits.shape[0])
-    return support, counts
+      return support, counts
+    samples = self.sample_pure(theta, key, self.num_expectation_samples)
+    uniq, _, counts = utils.unique_bitstrings_with_counts(
+        samples, size=self.max_unique_samples)
+    return uniq.astype(jnp.float32), counts.astype(jnp.float32)
 
   def sample_pure(self, theta, key, num_samples: int):
     logits = jax.lax.stop_gradient(self.logits_pure(theta))
@@ -331,15 +348,15 @@ class BernoulliEnergyInference(EnergyInference):
             (1.0 - bits) @ jax.nn.log_sigmoid(-l))
 
   def support_and_counts(self, theta, key):
-    if self._enumerable:
+    # Only `exact=True` uses the full 2^n enumeration (deterministic test
+    # fixtures).  The sampled path mirrors the reference exactly: draw N
+    # samples, dedup, evaluate downstream functions on the unique support
+    # only (reference ebm.py:262-280) -- crucial when the downstream f is a
+    # quantum expectation costing O(2^n) per support row.
+    if self._enumerable and self.exact:
       logits = jax.lax.stop_gradient(self._joint_logits(theta))
       support = self._all_bitstrings.astype(jnp.float32)
-      if self.exact:
-        counts = jax.nn.softmax(logits) * self.num_expectation_samples
-      else:
-        counts = categorical_counts(key, logits,
-                                    self.num_expectation_samples,
-                                    logits.shape[0])
+      counts = jax.nn.softmax(logits) * self.num_expectation_samples
       return support, counts
     samples = self.sample_pure(theta, key, self.num_expectation_samples)
     uniq, _, counts = utils.unique_bitstrings_with_counts(

@@ -220,14 +220,18 @@ class QAIA(QuantumCircuit):
     num_qubits = max(t.num_qubits for t in
                      list(quantum_h_terms) + list(classical_h_terms))
     builder = ir.CircuitBuilder(num_qubits)
+    # Symbol names carry the instance name so that independent QAIA copies
+    # (e.g. the natural-gradient observable copy) can be composed with this
+    # circuit's inverse without symbol collisions.
+    prefix = name or f"qaia{id(self)}"
     flat_symbols = []
     for layer in range(num_layers):
       for k, term in enumerate(quantum_h_terms):
-        sym = f"gamma_{layer}_{k}"
+        sym = f"{prefix}_gamma_{layer}_{k}"
         ir.exp_pauli_sum(term, symbol=sym, builder=builder)
         flat_symbols.append(sym)
       for k, term in enumerate(classical_h_terms):
-        sym = f"eta_{layer}_{k}"
+        sym = f"{prefix}_eta_{layer}_{k}"
         ir.exp_pauli_sum(term, symbol=sym, builder=builder)
         flat_symbols.append(sym)
     pqc = builder.build()

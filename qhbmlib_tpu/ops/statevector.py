@@ -3,16 +3,33 @@
 This is the rebuilt L1 of the reference stack: it replaces TFQ's C++ qsim ops
 (`tfq.layers.Expectation` / `SampledExpectation` / `Sample` / `Unitary`;
 reference: qhbmlib/inference/qnn.py:112,134-138,166-167 and
-qhbmlib/inference/qnn_utils.py:29-33) with pure JAX/XLA functions over a
-``(2,) * n`` complex statevector:
+qhbmlib/inference/qnn_utils.py:29-33) with pure JAX/XLA functions.
 
-  * gates apply as small tensordots (XLA fuses and tiles these onto the VPU/MXU),
-  * Pauli strings apply as axis flips + rank-1 phase broadcasts (no gathers),
-  * sampling is `|psi|^2` -> categorical / bincount (static shapes),
-  * the dense unitary is the circuit vmapped over identity columns.
+State layout -- the key TPU design decision
+-------------------------------------------
+
+A statevector is held as a 2-D array ``[R, C]`` with ``C = 2^m`` columns
+(``m = min(n, 7)``, so C = 128 = one TPU lane register for n >= 7) and
+``R = 2^(n-m)`` rows.  Qubits ``0..n-m-1`` ("major") index the rows
+(qubit 0 = most significant, cirq convention) and qubits ``n-m..n-1``
+("minor") index the columns.  Flattening row-major recovers the standard
+basis ordering.
+
+Why not the naive ``(2,)*n`` tensor?  XLA-TPU tiles arrays into (8, 128)
+vector registers; rank-n tensors of extent 2 force degenerate layouts and
+compile times that explode with n.  With the 2-D layout every gate lowers to
+a handful of rank <= 5 ops with a 128-sized minor dimension:
+
+  * minor-qubit gates  -> one [R,C]x[C,C] matmul on the MXU (the gate's 2x2 /
+    4x4 matrix is embedded into a 128x128 operator via a static kron+perm);
+  * major-qubit gates  -> a reshape exposing the qubit bit + a tiny einsum
+    over that axis, minor dimension untouched (pure VPU, HBM-bandwidth);
+  * Pauli strings      -> one fused phase pass (iota+popcount row signs,
+    static column signs) + one row/column permutation, no matrices;
+  * sampling           -> |psi|^2 -> categorical / bincount (static shapes).
 
 Qubit-index convention matches cirq: qubit 0 is the most significant bit of
-the computational-basis index, i.e. axis q of the state tensor is qubit q.
+the computational-basis index.
 """
 
 from __future__ import annotations
@@ -28,6 +45,33 @@ from qhbmlib_tpu.ops import circuit_ir as ir
 from qhbmlib_tpu.ops import paulis
 
 COMPLEX_DTYPE = jnp.complex64
+
+# Number of qubits kept in the minor (column) dimension: 2^7 = 128 = the TPU
+# lane width, so minor-gate matmuls are exactly MXU-shaped.
+MINOR_MAX = 7
+
+
+def minor_bits(n: int) -> int:
+  return min(n, MINOR_MAX)
+
+
+def state_shape(n: int) -> Tuple[int, int]:
+  m = minor_bits(n)
+  return (2**(n - m), 2**m)
+
+
+def num_qubits_of(state: jnp.ndarray) -> int:
+  size = int(state.shape[-2]) * int(state.shape[-1])
+  return size.bit_length() - 1
+
+
+def to_vector(state: jnp.ndarray) -> jnp.ndarray:
+  """[R, C] -> flat [2^n] in standard basis order."""
+  return state.reshape(state.shape[:-2] + (-1,))
+
+
+def from_vector(vec: jnp.ndarray, n: int) -> jnp.ndarray:
+  return vec.reshape(vec.shape[:-1] + state_shape(n))
 
 
 # ---------------------------------------------------------------------------
@@ -114,8 +158,8 @@ def gate_matrix(kind: str, angle) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def zero_state(num_qubits: int) -> jnp.ndarray:
-  state = jnp.zeros((2**num_qubits,), COMPLEX_DTYPE).at[0].set(1.0)
-  return state.reshape((2,) * num_qubits)
+  r, c = state_shape(num_qubits)
+  return jnp.zeros((r, c), COMPLEX_DTYPE).at[0, 0].set(1.0)
 
 
 def basis_state(num_qubits: int, bits: jnp.ndarray) -> jnp.ndarray:
@@ -125,13 +169,18 @@ def basis_state(num_qubits: int, bits: jnp.ndarray) -> jnp.ndarray:
   state-injection (reference: qhbmlib/models/circuit_utils.py:23-29): basis
   states are written directly instead of prepending X gates.
   """
-  idx = bits_to_index(bits, num_qubits)
-  state = jnp.zeros((2**num_qubits,), COMPLEX_DTYPE).at[idx].set(1.0)
-  return state.reshape((2,) * num_qubits)
+  m = minor_bits(num_qubits)
+  nr = num_qubits - m
+  r, c = state_shape(num_qubits)
+  row = bits_to_index(bits[:nr], nr)
+  col = bits_to_index(bits[nr:], m)
+  return jnp.zeros((r, c), COMPLEX_DTYPE).at[row, col].set(1.0)
 
 
 def bits_to_index(bits: jnp.ndarray, num_qubits: int) -> jnp.ndarray:
   """Big-endian bitstring -> flat basis index (int32)."""
+  if num_qubits == 0:
+    return jnp.zeros(bits.shape[:-1], jnp.int32)
   weights = jnp.asarray(2**np.arange(num_qubits - 1, -1, -1, dtype=np.int64),
                         jnp.int32)
   return jnp.sum(bits.astype(jnp.int32) * weights, axis=-1)
@@ -151,42 +200,167 @@ def all_bitstrings(num_qubits: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Gate application
+# Dense gate application
 # ---------------------------------------------------------------------------
 
-def _apply_dense(mat: jnp.ndarray, qubits: Tuple[int, ...],
-                 state: jnp.ndarray) -> jnp.ndarray:
-  k = len(qubits)
-  mat_t = mat.reshape((2,) * (2 * k))
-  out = jnp.tensordot(mat_t, state, axes=(tuple(range(k, 2 * k)), qubits))
-  return jnp.moveaxis(out, tuple(range(k)), qubits)
+@functools.lru_cache(maxsize=None)
+def _embed_perm(positions: Tuple[int, ...], m: int) -> np.ndarray:
+  """Static permutation taking the desired column-bit order to the kron
+  layout (gate bits as MSBs in `positions` order, identity bits after)."""
+  k = len(positions)
+  others = [p for p in range(m) if p not in positions]
+  perm = np.zeros(2**m, np.int32)
+  for j in range(2**m):
+    bits = [(j >> (m - 1 - t)) & 1 for t in range(m)]
+    idx = 0
+    for p in positions:
+      idx = (idx << 1) | bits[p]
+    for p in others:
+      idx = (idx << 1) | bits[p]
+    perm[j] = idx
+  return perm
 
+
+def _embed_minor_mat(mat_k: jnp.ndarray, positions: Tuple[int, ...],
+                     m: int) -> jnp.ndarray:
+  """Embeds a k-qubit gate matrix (axes ordered per `positions`, MSB first)
+  into the full [C, C] minor-space operator."""
+  k = len(positions)
+  if k == m and positions == tuple(range(m)):
+    return mat_k
+  big = jnp.kron(mat_k, jnp.eye(2**(m - k), dtype=mat_k.dtype))
+  perm = _embed_perm(tuple(positions), m)
+  return big[perm][:, perm]
+
+
+def apply_dense(mat: jnp.ndarray, qubits: Tuple[int, ...],
+                state: jnp.ndarray) -> jnp.ndarray:
+  """Applies a dense 1- or 2-qubit gate matrix to the [R, C] state.
+
+  `mat` axes follow the order of `qubits` (qubits[0] = most significant).
+  """
+  r, c = state.shape
+  n = num_qubits_of(state)
+  m = c.bit_length() - 1
+  nr = n - m
+  majors = [q for q in qubits if q < nr]
+  minors = [q for q in qubits if q >= nr]
+
+  if not majors:
+    # All gate qubits in the minor dimension: one MXU matmul.
+    pos = tuple(q - nr for q in qubits)
+    big = _embed_minor_mat(mat, pos, m)
+    return state @ big.T
+
+  if not minors:
+    if len(qubits) == 1:
+      q = qubits[0]
+      a = 2**q
+      view = state.reshape(a, 2, -1)
+      out = jnp.einsum("ij,ajb->aib", mat, view)
+      return out.reshape(r, c)
+    q0, q1 = qubits
+    s0, s1 = sorted((q0, q1))
+    a, b = 2**s0, 2**(s1 - s0 - 1)
+    view = state.reshape(a, 2, b, 2, -1)
+    mt = mat.reshape(2, 2, 2, 2)
+    if q0 == s0:
+      out = jnp.einsum("XYxy,axbyd->aXbYd", mt, view)
+    else:
+      out = jnp.einsum("XYxy,aybxd->aYbXd", mt, view)
+    return out.reshape(r, c)
+
+  # Mixed: one major (row) qubit, one minor (column) qubit.
+  (maj,) = majors
+  (mnr,) = minors
+  u_pos = mnr - nr
+  a = 2**maj
+  view = state.reshape(a, 2, -1, c)
+  mt = mat.reshape(2, 2, 2, 2)
+  # Normalize to axes (maj_out, mnr_out, maj_in, mnr_in).
+  if qubits[0] != maj:
+    mt = jnp.transpose(mt, (1, 0, 3, 2))
+  outs = []
+  for i in (0, 1):
+    acc = None
+    for j in (0, 1):
+      emb = _embed_minor_mat(mt[i, :, j, :], (u_pos,), m)
+      contrib = jnp.einsum("cd,abd->abc", emb, view[:, j])
+      acc = contrib if acc is None else acc + contrib
+    outs.append(acc)
+  out = jnp.stack(outs, axis=1)
+  return out.reshape(r, c)
+
+
+# ---------------------------------------------------------------------------
+# Pauli strings
+# ---------------------------------------------------------------------------
 
 def apply_pauli_string(state: jnp.ndarray,
                        codes: Sequence[int]) -> jnp.ndarray:
   """P|psi> for a static Pauli code row (0=I,1=X,2=Y,3=Z).
 
-  Z and the Y-phase are rank-1 broadcasts along the qubit axis; X/Y flips are
-  axis reversals.  Everything fuses into one elementwise pass under XLA.
+  One fused elementwise phase pass (runtime iota+popcount sign over rows,
+  static sign vector over columns, global i^{#Y}) followed by one row
+  permutation and one static column permutation for the X/Y bit flips.
   """
-  n = state.ndim
-  flip_axes = []
-  for q, c in enumerate(codes):
-    if c == paulis.X:
-      flip_axes.append(q)
-    elif c == paulis.Y:
-      # Y = flip o diag(i, -i)
-      phase = jnp.asarray([1j, -1j], COMPLEX_DTYPE).reshape(
-          (1,) * q + (2,) + (1,) * (n - q - 1))
-      state = state * phase
-      flip_axes.append(q)
-    elif c == paulis.Z:
-      phase = jnp.asarray([1.0, -1.0], COMPLEX_DTYPE).reshape(
-          (1,) * q + (2,) + (1,) * (n - q - 1))
-      state = state * phase
-  if flip_axes:
-    state = jnp.flip(state, axis=flip_axes)
-  return state
+  r, c = state.shape
+  n = len(codes)
+  m = c.bit_length() - 1
+  nr = n - m
+  assert nr == r.bit_length() - 1, (state.shape, n)
+
+  row_phase_mask = 0  # Z or Y major bits contribute (-1)^bit
+  row_flip_mask = 0  # X or Y major bits flip
+  col_phase_mask = 0
+  col_flip_mask = 0
+  y_count = 0
+  for q, code in enumerate(codes):
+    if code == paulis.I:
+      continue
+    if q < nr:
+      bit = 1 << (nr - 1 - q)
+      if code in (paulis.Z, paulis.Y):
+        row_phase_mask |= bit
+      if code in (paulis.X, paulis.Y):
+        row_flip_mask |= bit
+    else:
+      bit = 1 << (m - 1 - (q - nr))
+      if code in (paulis.Z, paulis.Y):
+        col_phase_mask |= bit
+      if code in (paulis.X, paulis.Y):
+        col_flip_mask |= bit
+    if code == paulis.Y:
+      y_count += 1
+
+  out = state
+  # Column phases are a static [C] complex vector (includes the global
+  # i^{#Y}); row phases are computed on the fly from an iota (R can be huge).
+  if col_phase_mask or y_count:
+    cols = np.arange(c)
+    signs = 1.0 - 2.0 * (_popcount_np(cols & col_phase_mask) & 1)
+    col_vec = ((1j)**(y_count % 4) * signs).astype(np.complex64)
+    out = out * jnp.asarray(col_vec)[None, :]
+  if row_phase_mask:
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    par = jax.lax.population_count(
+        jnp.bitwise_and(rows, jnp.int32(row_phase_mask))) & 1
+    out = out * (1.0 - 2.0 * par).astype(jnp.float32)
+  if row_flip_mask:
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r,), 0)
+    out = jnp.take(out, jnp.bitwise_xor(rows, jnp.int32(row_flip_mask)),
+                   axis=0)
+  if col_flip_mask:
+    out = out[:, np.arange(c) ^ col_flip_mask]
+  return out
+
+
+def _popcount_np(x: np.ndarray) -> np.ndarray:
+  out = np.zeros_like(x)
+  while np.any(x):
+    out += x & 1
+    x = x >> 1
+  return out
 
 
 def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
@@ -201,36 +375,41 @@ def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
   return out
 
 
+# ---------------------------------------------------------------------------
+# Gate application
+# ---------------------------------------------------------------------------
+
 def resolve_angle(gate: ir.Gate, symbol_values: jnp.ndarray):
   if gate.slot < 0:
     return jnp.asarray(gate.shift, jnp.float32)
   return gate.coeff * symbol_values[gate.slot] + gate.shift
 
 
+def _prot_codes(gate: ir.Gate, n: int):
+  codes = [0] * n
+  for q, p in zip(gate.qubits, gate.paulis):
+    codes[q] = p
+  return codes
+
+
 def apply_gate(gate: ir.Gate, angle, state: jnp.ndarray) -> jnp.ndarray:
-  """Applies one gate with a resolved angle to the state."""
+  """Applies one gate with a resolved angle to the [R, C] state."""
   if gate.kind == ir.PROT:
     # exp(-i*angle*P) = cos(angle) I - i sin(angle) P
-    codes = [0] * state.ndim
-    for q, p in zip(gate.qubits, gate.paulis):
-      codes[q] = p
-    p_state = apply_pauli_string(state, codes)
+    p_state = apply_pauli_string(state, _prot_codes(gate, num_qubits_of(state)))
     a = jnp.asarray(angle, jnp.float32).astype(COMPLEX_DTYPE)
     return jnp.cos(a) * state - 1j * jnp.sin(a) * p_state
   if gate.kind == ir.GPHASE:
     a = jnp.asarray(angle, jnp.float32).astype(COMPLEX_DTYPE)
     return jnp.exp(1j * a) * state
   mat = gate_matrix(gate.kind, angle)
-  return _apply_dense(mat, gate.qubits, state)
+  return apply_dense(mat, gate.qubits, state)
 
 
 def apply_gate_dangle(gate: ir.Gate, angle, state: jnp.ndarray) -> jnp.ndarray:
   """(dU/dangle)|psi> -- used by the adjoint differentiation backward sweep."""
   if gate.kind == ir.PROT:
-    codes = [0] * state.ndim
-    for q, p in zip(gate.qubits, gate.paulis):
-      codes[q] = p
-    p_state = apply_pauli_string(state, codes)
+    p_state = apply_pauli_string(state, _prot_codes(gate, num_qubits_of(state)))
     a = jnp.asarray(angle, jnp.float32).astype(COMPLEX_DTYPE)
     return -jnp.sin(a) * state - 1j * jnp.cos(a) * p_state
   if gate.kind == ir.GPHASE:
@@ -239,7 +418,7 @@ def apply_gate_dangle(gate: ir.Gate, angle, state: jnp.ndarray) -> jnp.ndarray:
   angle = jnp.asarray(angle, jnp.float32)
   _, dmat = jax.jvp(lambda a: gate_matrix(gate.kind, a), (angle,),
                     (jnp.ones_like(angle),))
-  return _apply_dense(dmat, gate.qubits, state)
+  return apply_dense(dmat, gate.qubits, state)
 
 
 def apply_circuit(circuit: ir.Circuit,
@@ -268,11 +447,11 @@ def expectation_terms(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
   Coefficients are NOT applied; dot with `op.coeffs` outside so that
   coefficient gradients flow through plain autodiff.
   """
-  flat = state.reshape(-1).conj()
+  conj = state.conj()
   vals = []
   for t in range(op.num_terms):
     p_state = apply_pauli_string(state, op.codes[t])
-    vals.append(jnp.real(jnp.sum(flat * p_state.reshape(-1))))
+    vals.append(jnp.real(jnp.sum(conj * p_state)))
   return jnp.stack(vals)
 
 
@@ -282,7 +461,7 @@ def expectation(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
 
 
 def probabilities(state: jnp.ndarray) -> jnp.ndarray:
-  return jnp.abs(state.reshape(-1))**2
+  return jnp.abs(to_vector(state))**2
 
 
 def sample_indices(key: jax.Array, state: jnp.ndarray,
@@ -296,7 +475,7 @@ def sample_indices(key: jax.Array, state: jnp.ndarray,
 def sample_bitstrings(key: jax.Array, state: jnp.ndarray,
                       num_samples: int) -> jnp.ndarray:
   """Measurement bitstrings [num_samples, n] int8 from |psi|^2."""
-  n = state.ndim
+  n = num_qubits_of(state)
   return index_to_bits(sample_indices(key, state, num_samples), n)
 
 
@@ -310,8 +489,8 @@ def unitary(circuit: ir.Circuit, symbol_values: jnp.ndarray) -> jnp.ndarray:
   eye = jnp.eye(dim, dtype=COMPLEX_DTYPE)
 
   def column(col):
-    out = apply_circuit(circuit, symbol_values, col.reshape((2,) * n))
-    return out.reshape(-1)
+    out = apply_circuit(circuit, symbol_values, from_vector(col, n))
+    return to_vector(out)
 
   return jax.vmap(column, in_axes=1, out_axes=1)(eye)
 
@@ -322,7 +501,7 @@ def unitary(circuit: ir.Circuit, symbol_values: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def simulate(circuit: ir.Circuit, symbol_values: jnp.ndarray) -> jnp.ndarray:
-  """|psi> = U(values)|0...0>."""
+  """|psi> = U(values)|0...0>, shape [R, C]."""
   return apply_circuit(circuit, symbol_values, zero_state(circuit.num_qubits))
 
 
