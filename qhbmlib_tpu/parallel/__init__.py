@@ -1,0 +1,21 @@
+"""Multi-chip parallelism for the TPU-native QHBM stack.
+
+The reference is single-process/single-device (no `tf.distribute` anywhere;
+see reference baselines/launch.py:64-65 where `num_workers` is never wired
+into training).  This package is the TPU-native scaling layer that the
+reference lacks:
+
+  * `mesh`        -- named `jax.sharding.Mesh` construction ('data', 'state').
+  * `sharded_sv`  -- amplitude-sharded statevector engine: the 2^n state is
+    split over the 'state' mesh axis; gates on global (sharded) qubits move
+    data over ICI with `ppermute` half-exchanges (the tensor-parallel /
+    ring-schedule analog of the qubit index space).
+  * `qnn_sharded` -- `ShardedQuantumInference`, a drop-in QuantumInference
+    whose expectations run data-parallel over the 'data' axis and
+    amplitude-sharded over the 'state' axis.  The existing `vqt`/`qmhl`/
+    `QHBM` layers compose with it unchanged.
+"""
+
+from qhbmlib_tpu.parallel.mesh import make_mesh
+from qhbmlib_tpu.parallel import sharded_sv
+from qhbmlib_tpu.parallel.qnn_sharded import ShardedQuantumInference

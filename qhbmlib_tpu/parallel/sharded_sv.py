@@ -1,0 +1,456 @@
+"""Amplitude-sharded statevector engine (multi-chip tensor parallelism).
+
+The 2^n-amplitude statevector is split across the 'state' mesh axis: a device
+at position d along the axis holds the amplitudes whose first (most
+significant, cirq-convention) k = log2(axis size) qubit values equal the bits
+of d.  This is the TPU-native replacement for the scaling axis the reference
+caps at single-host qsim (SURVEY.md section 2.3, section 5 "long-context"):
+
+  * gates on local qubits (q >= k) apply on the local [R, C] block with the
+    dense engine's MXU/VPU paths (ops/statevector.py) -- zero communication;
+  * gates on global qubits (q < k) use direct partner exchange: the partner
+    block arrives via `jax.lax.ppermute` over ICI and the output is a
+    device-bit-dependent linear combination of own + partner blocks (the
+    distributed-simulation analog of a ring collective schedule);
+  * Pauli-string applications never need swaps: global X/Y become a single
+    fused `ppermute` (device-index XOR), global Z/Y phases are per-device
+    scalars;
+  * expectation values finish with a `psum` over the state axis.
+
+All functions with a `k`/`axis_name` signature run INSIDE `shard_map`; the
+`*_sharded` top-level wrappers build the `shard_map` over a mesh from
+`parallel.mesh.make_mesh`.  Differentiation: `batched_term_expectations`
+carries a custom adjoint VJP (reverse gate sweep, O(2^(n-k)) memory per
+device) mirroring ops/adjoint.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+  from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+  from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+from qhbmlib_tpu.ops import circuit_ir as ir
+from qhbmlib_tpu.ops import paulis
+from qhbmlib_tpu.ops import statevector as sv
+from qhbmlib_tpu.parallel import mesh as mesh_lib
+
+COMPLEX_DTYPE = sv.COMPLEX_DTYPE
+
+
+# ---------------------------------------------------------------------------
+# In-body primitives (run inside shard_map over `axis_name`)
+# ---------------------------------------------------------------------------
+
+def _device_bit(axis_name: str, k: int, g: int) -> jnp.ndarray:
+  """Bit of global qubit g (< k) in this device's state-axis position."""
+  idx = jax.lax.axis_index(axis_name)
+  return (idx >> (k - 1 - g)) & 1
+
+
+def _xor_perm(num_devices: int, mask: int):
+  """ppermute permutation sending device d's data to device d ^ mask."""
+  return [(d, d ^ mask) for d in range(num_devices)]
+
+
+def _select_bit(mat: jnp.ndarray, b) -> jnp.ndarray:
+  """Indexes axis 0 of `mat` with a traced bit (0/1)."""
+  return jnp.where(b == 0, mat[0], mat[1])
+
+
+def _apply_dense_routed(mat: jnp.ndarray, gate_qubits: Tuple[int, ...],
+                        local: jnp.ndarray, k: int,
+                        axis_name: str) -> jnp.ndarray:
+  """Applies a dense 1-/2-qubit gate that may touch global (sharded) qubits.
+
+  Global qubits are handled by direct partner exchange: the partner device's
+  block arrives via one `ppermute` and the output is a device-bit-dependent
+  linear combination of own + partner blocks (the gate matrix rows are
+  selected by this device's bits).  Exactly one full-block exchange per
+  global qubit pair -- the same ICI traffic as a global<->local qubit swap,
+  with no scratch-qubit or minimum-local-size requirement.
+  """
+  num_devices = 2**k
+  global_qubits = [q for q in gate_qubits if q < k]
+  if not global_qubits:
+    return sv.apply_dense(mat, tuple(q - k for q in gate_qubits), local)
+
+  if len(gate_qubits) == 1:
+    (g,) = gate_qubits
+    b = _device_bit(axis_name, k, g)
+    row = _select_bit(mat, b)  # [2]: this device's output row
+    keep = _select_bit(row, b)
+    ex = _select_bit(row, 1 - b)
+    partner = jax.lax.ppermute(local, axis_name,
+                               _xor_perm(num_devices, 1 << (k - 1 - g)))
+    return keep * local + ex * partner
+
+  # Two-qubit gate.
+  mt = mat.reshape(2, 2, 2, 2)  # (q0_out, q1_out, q0_in, q1_in)
+  if len(global_qubits) == 1:
+    (g,) = global_qubits
+    (u,) = [q for q in gate_qubits if q >= k]
+    if gate_qubits[0] != g:  # normalize to (g_out, u_out, g_in, u_in)
+      mt = jnp.transpose(mt, (1, 0, 3, 2))
+    b = _device_bit(axis_name, k, g)
+    m_b = _select_bit(mt, b)  # [u_out, g_in, u_in]
+    sub_keep = _select_bit(jnp.transpose(m_b, (1, 0, 2)), b)  # [2, 2] on u
+    sub_ex = _select_bit(jnp.transpose(m_b, (1, 0, 2)), 1 - b)
+    partner = jax.lax.ppermute(local, axis_name,
+                               _xor_perm(num_devices, 1 << (k - 1 - g)))
+    u_local = (u - k,)
+    return (sv.apply_dense(sub_keep, u_local, local) +
+            sv.apply_dense(sub_ex, u_local, partner))
+
+  # Both qubits global: blocks from up to three partner devices.
+  g0, g1 = gate_qubits
+  b0 = _device_bit(axis_name, k, g0)
+  b1 = _device_bit(axis_name, k, g1)
+  m_row = _select_bit(_select_bit(mt, b0), b1)  # [g0_in, g1_in]
+  mask0 = 1 << (k - 1 - g0)
+  mask1 = 1 << (k - 1 - g1)
+  pieces = {
+      (0, 0): local,
+      (1, 0): jax.lax.ppermute(local, axis_name,
+                               _xor_perm(num_devices, mask0)),
+      (0, 1): jax.lax.ppermute(local, axis_name,
+                               _xor_perm(num_devices, mask1)),
+      (1, 1): jax.lax.ppermute(local, axis_name,
+                               _xor_perm(num_devices, mask0 | mask1)),
+  }
+  out = jnp.zeros_like(local)
+  for (d0, d1), piece in pieces.items():
+    j0 = jnp.bitwise_xor(b0, d0)
+    j1 = jnp.bitwise_xor(b1, d1)
+    coeff = _select_bit(_select_bit(m_row, j0), j1)
+    out = out + coeff * piece
+  return out
+
+
+def apply_pauli_string_local(local: jnp.ndarray, codes: Sequence[int], k: int,
+                             axis_name: str) -> jnp.ndarray:
+  """P|psi> for a full-length static Pauli code row on the sharded state.
+
+  Global X/Y flips collapse into ONE device-index-XOR ppermute; global Z/Y
+  phases are per-device scalars; local codes reuse the dense engine's fused
+  phase+permute path.  Phases are computed from the *input* device bits, so
+  they are applied before the permute (matching ops/statevector.py).
+  """
+  num_devices = 2**k
+  xor_mask = 0
+  phase = jnp.ones((), COMPLEX_DTYPE)
+  for g in range(k):
+    c = codes[g]
+    if c == paulis.X:
+      xor_mask |= 1 << (k - 1 - g)
+    elif c == paulis.Y:
+      xor_mask |= 1 << (k - 1 - g)
+      b = _device_bit(axis_name, k, g)
+      phase = phase * jnp.where(b == 0, 1j, -1j).astype(COMPLEX_DTYPE)
+    elif c == paulis.Z:
+      b = _device_bit(axis_name, k, g)
+      phase = phase * jnp.where(b == 0, 1.0, -1.0).astype(COMPLEX_DTYPE)
+  out = sv.apply_pauli_string(local, list(codes)[k:])
+  out = out * phase
+  if xor_mask:
+    out = jax.lax.ppermute(out, axis_name, _xor_perm(num_devices, xor_mask))
+  return out
+
+
+def _full_codes(gate: ir.Gate, n: int) -> list:
+  codes = [0] * n
+  for q, p in zip(gate.qubits, gate.paulis):
+    codes[q] = p
+  return codes
+
+
+def _local_num_qubits(local: jnp.ndarray) -> int:
+  return (int(local.shape[0]) * int(local.shape[1])).bit_length() - 1
+
+
+def apply_gate_local(gate: ir.Gate, angle, local: jnp.ndarray, k: int,
+                     axis_name: str) -> jnp.ndarray:
+  """Sharded equivalent of ops/statevector.py apply_gate."""
+  n = k + _local_num_qubits(local)
+  if gate.kind == ir.PROT:
+    p_state = apply_pauli_string_local(local, _full_codes(gate, n), k,
+                                       axis_name)
+    a = jnp.asarray(angle, jnp.float32).astype(COMPLEX_DTYPE)
+    return jnp.cos(a) * local - 1j * jnp.sin(a) * p_state
+  if gate.kind == ir.GPHASE:
+    a = jnp.asarray(angle, jnp.float32).astype(COMPLEX_DTYPE)
+    return jnp.exp(1j * a) * local
+  mat = sv.gate_matrix(gate.kind, angle)
+  return _apply_dense_routed(mat, gate.qubits, local, k, axis_name)
+
+
+def apply_gate_dangle_local(gate: ir.Gate, angle, local: jnp.ndarray, k: int,
+                            axis_name: str) -> jnp.ndarray:
+  """(dU/dangle)|psi> on the sharded state (adjoint backward sweep)."""
+  n = k + _local_num_qubits(local)
+  if gate.kind == ir.PROT:
+    p_state = apply_pauli_string_local(local, _full_codes(gate, n), k,
+                                       axis_name)
+    a = jnp.asarray(angle, jnp.float32).astype(COMPLEX_DTYPE)
+    return -jnp.sin(a) * local - 1j * jnp.cos(a) * p_state
+  if gate.kind == ir.GPHASE:
+    a = jnp.asarray(angle, jnp.float32).astype(COMPLEX_DTYPE)
+    return 1j * jnp.exp(1j * a) * local
+  angle = jnp.asarray(angle, jnp.float32)
+  _, dmat = jax.jvp(lambda a: sv.gate_matrix(gate.kind, a), (angle,),
+                    (jnp.ones_like(angle),))
+  return _apply_dense_routed(dmat, gate.qubits, local, k, axis_name)
+
+
+def apply_circuit_local(circuit: ir.Circuit, symbol_values: jnp.ndarray,
+                        local: jnp.ndarray, k: int, axis_name: str,
+                        angle_offsets: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
+  for g_idx, gate in enumerate(circuit.gates):
+    angle = sv.resolve_angle(gate, symbol_values)
+    if angle_offsets is not None:
+      angle = angle + angle_offsets[g_idx]
+    local = apply_gate_local(gate, angle, local, k, axis_name)
+  return local
+
+
+def _apply_inverse_local(gate: ir.Gate, angle, local, k, axis_name):
+  inv = ir.Gate(gate.kind, gate.qubits, -1, 0.0, 0.0, gate.paulis)
+  return apply_gate_local(inv, -angle, local, k, axis_name)
+
+
+def basis_state_local(n: int, k: int, bits: jnp.ndarray,
+                      axis_name: str) -> jnp.ndarray:
+  """Local block of |bits>: nonzero only on the owning device."""
+  dev = sv.bits_to_index(bits[:k], k) if k else jnp.zeros((), jnp.int32)
+  local_idx = sv.bits_to_index(bits[k:], n - k)
+  amp = jnp.where(jax.lax.axis_index(axis_name) == dev, 1.0,
+                  0.0).astype(COMPLEX_DTYPE)
+  flat = jnp.zeros((2**(n - k),), COMPLEX_DTYPE).at[local_idx].set(amp)
+  return sv.from_vector(flat, n - k)
+
+
+def expectation_terms_local(local: jnp.ndarray, op: paulis.PauliSum, k: int,
+                            axis_name: str) -> jnp.ndarray:
+  """Per-term real <psi|P_t|psi>, psum-reduced over the state axis."""
+  flat = local.reshape(-1).conj()
+  vals = []
+  for t in range(op.num_terms):
+    p_state = apply_pauli_string_local(local, op.codes[t], k, axis_name)
+    vals.append(jnp.real(jnp.sum(flat * p_state.reshape(-1))))
+  return jax.lax.psum(jnp.stack(vals), axis_name)
+
+
+# ---------------------------------------------------------------------------
+# Adjoint differentiation on the sharded state (mirrors ops/adjoint.py)
+# ---------------------------------------------------------------------------
+
+def _term_expectations_fwd_local(circuit, values, bits, big_op, k, axis_name):
+  psi = apply_circuit_local(circuit, values,
+                            basis_state_local(circuit.num_qubits, k, bits,
+                                              axis_name), k, axis_name)
+  return expectation_terms_local(psi, big_op, k, axis_name)
+
+
+def _term_expectations_bwd_local(circuit, values, bits, big_op, g, k,
+                                 axis_name):
+  """Adjoint reverse sweep; recomputes the forward state (memory O(2^(n-k))
+  per device instead of carrying per-batch-element residual states)."""
+  psi = apply_circuit_local(circuit, values,
+                            basis_state_local(circuit.num_qubits, k, bits,
+                                              axis_name), k, axis_name)
+  ones_op = paulis.PauliSum(big_op.codes, jnp.ones_like(big_op.coeffs),
+                            big_op.num_qubits)
+  lam = jnp.zeros_like(psi)
+  for t in range(ones_op.num_terms):
+    lam = lam + g[t].astype(COMPLEX_DTYPE) * apply_pauli_string_local(
+        psi, ones_op.codes[t], k, axis_name)
+  grad = jnp.zeros_like(values)
+  a = psi
+  for gate in reversed(circuit.gates):
+    angle = sv.resolve_angle(gate, values)
+    a = _apply_inverse_local(gate, angle, a, k, axis_name)
+    if gate.slot >= 0:
+      d_psi = apply_gate_dangle_local(gate, angle, a, k, axis_name)
+      dangle = 2.0 * jnp.real(
+          jnp.sum(jnp.conj(lam.reshape(-1)) * d_psi.reshape(-1)))
+      dangle = jax.lax.psum(dangle, axis_name)
+      grad = grad.at[gate.slot].add(gate.coeff * dangle)
+    lam = _apply_inverse_local(gate, angle, lam, k, axis_name)
+  return grad
+
+
+# ---------------------------------------------------------------------------
+# Top-level wrappers (build the shard_map)
+# ---------------------------------------------------------------------------
+
+def _concat_ops(ops: Tuple[paulis.PauliSum, ...], n: int):
+  all_codes = tuple(row for op in ops for row in op.codes)
+  all_coeffs = jnp.concatenate([jnp.atleast_1d(op.coeffs) for op in ops])
+  slices = []
+  start = 0
+  for op in ops:
+    slices.append((start, start + op.num_terms))
+    start += op.num_terms
+  return paulis.PauliSum(all_codes, all_coeffs, n), slices
+
+
+def simulate_sharded(circuit: ir.Circuit,
+                     symbol_values: jnp.ndarray,
+                     mesh,
+                     init_bits: Optional[jnp.ndarray] = None,
+                     axis_name: str = mesh_lib.STATE_AXIS) -> jnp.ndarray:
+  """|psi> = U(values)|bits or 0>, returned as a [2^n] array sharded over the
+  state axis.  Metrics / debugging entry point."""
+  k = mesh_lib.num_global_qubits(mesh, axis_name)
+  n = circuit.num_qubits
+  if init_bits is None:
+    init_bits = jnp.zeros([n], jnp.int8)
+
+  def body(values, bits):
+    local = basis_state_local(n, k, bits, axis_name)
+    local = apply_circuit_local(circuit, values, local, k, axis_name)
+    return local.reshape(-1)
+
+  spec_r = P()
+  fn = shard_map(body, mesh=mesh, in_specs=(spec_r, spec_r),
+                 out_specs=P(axis_name))
+  return fn(symbol_values, init_bits)
+
+
+def batched_term_expectations(circuit: ir.Circuit,
+                              values: jnp.ndarray,
+                              init_bits: jnp.ndarray,
+                              big_op: paulis.PauliSum,
+                              mesh,
+                              axis_name: str = mesh_lib.STATE_AXIS,
+                              data_axis: Optional[str] = None) -> jnp.ndarray:
+  """Per-term expectations [B, T] of `big_op` against U|b_i> for each row.
+
+  Adjoint-differentiable w.r.t. `values`; per-term (coefficient-free) so
+  coefficient gradients flow outside via plain autodiff.  The batch is
+  processed with `lax.map` inside the shard_map body (states are sharded, so
+  vmap cannot batch the collectives); if `data_axis` is given the batch is
+  additionally split across that mesh axis (B must be divisible by its size).
+  """
+  return _bte(circuit, mesh, axis_name, data_axis, values, init_bits,
+              big_op.coeffs, _HashableOp(big_op))
+
+
+class _HashableOp:
+  """Wraps a PauliSum's static structure for use as a nondiff argument."""
+
+  def __init__(self, op: paulis.PauliSum):
+    self.codes = op.codes
+    self.num_qubits = op.num_qubits
+
+  def with_coeffs(self, coeffs) -> paulis.PauliSum:
+    return paulis.PauliSum(self.codes, coeffs, self.num_qubits)
+
+  def __hash__(self):
+    return hash((self.codes, self.num_qubits))
+
+  def __eq__(self, other):
+    return (isinstance(other, _HashableOp) and self.codes == other.codes and
+            self.num_qubits == other.num_qubits)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 7))
+def _bte(circuit, mesh, axis_name, data_axis, values, init_bits, coeffs,
+         hop: _HashableOp):
+  out, _ = _bte_fwd(circuit, mesh, axis_name, data_axis, values, init_bits,
+                    coeffs, hop)
+  return out
+
+
+def _bte_shard_specs(mesh, axis_name, data_axis):
+  rep = P()
+  bits_spec = P(data_axis) if data_axis else rep
+  out_spec = P(data_axis) if data_axis else rep
+  return rep, bits_spec, out_spec
+
+
+def _bte_fwd(circuit, mesh, axis_name, data_axis, values, init_bits, coeffs,
+             hop):
+  k = mesh_lib.num_global_qubits(mesh, axis_name)
+  op = hop.with_coeffs(jnp.ones_like(coeffs))
+
+  def body(vals, bits_chunk):
+    def one(bits):
+      return _term_expectations_fwd_local(circuit, vals, bits, op, k,
+                                          axis_name)
+    return jax.lax.map(one, bits_chunk)
+
+  rep, bits_spec, out_spec = _bte_shard_specs(mesh, axis_name, data_axis)
+  fn = shard_map(body, mesh=mesh, in_specs=(rep, bits_spec),
+                 out_specs=out_spec)
+  out = fn(values, init_bits)
+  return out, (values, init_bits, coeffs)
+
+
+def _bte_bwd(circuit, mesh, axis_name, data_axis, hop, res, g):
+  values, init_bits, coeffs = res
+  k = mesh_lib.num_global_qubits(mesh, axis_name)
+  op = hop.with_coeffs(jnp.ones_like(coeffs))
+
+  def body(vals, bits_chunk, g_chunk):
+    def one(args):
+      bits, gg = args
+      return _term_expectations_bwd_local(circuit, vals, bits, op, gg, k,
+                                          axis_name)
+    grads = jax.lax.map(one, (bits_chunk, g_chunk))  # [Bl, num_symbols]
+    total = jnp.sum(grads, axis=0)
+    if data_axis:
+      total = jax.lax.psum(total, data_axis)
+    return total
+
+  rep, bits_spec, _ = _bte_shard_specs(mesh, axis_name, data_axis)
+  fn = shard_map(body, mesh=mesh, in_specs=(rep, bits_spec, bits_spec),
+                 out_specs=rep)
+  values_bar = fn(values, init_bits, g)
+  return values_bar, None, jnp.zeros_like(coeffs)
+
+
+_bte.defvjp(_bte_fwd, _bte_bwd)
+
+
+def batched_expectations(circuit: ir.Circuit,
+                         symbol_values: jnp.ndarray,
+                         init_bits: jnp.ndarray,
+                         ops: Tuple[paulis.PauliSum, ...],
+                         mesh,
+                         axis_name: str = mesh_lib.STATE_AXIS,
+                         data_axis: Optional[str] = None) -> jnp.ndarray:
+  """Sharded equivalent of ops/adjoint.py batched_expectations: [B, len(ops)]
+  expectations of each op against U|b> per bitstring, with adjoint gradients
+  for `symbol_values` and autodiff gradients for op coefficients.
+
+  If `data_axis` is set, the batch B is padded to a multiple of that mesh
+  axis's size and split across it (data parallelism); results for padding
+  rows are discarded.
+  """
+  n = circuit.num_qubits
+  big, slices = _concat_ops(ops, n)
+  b = init_bits.shape[0]
+  pad = 0
+  if data_axis is not None:
+    d = mesh.shape[data_axis]
+    pad = (-b) % d
+    if pad:
+      init_bits = jnp.concatenate(
+          [init_bits, jnp.zeros([pad, n], init_bits.dtype)], axis=0)
+  terms = batched_term_expectations(circuit, symbol_values, init_bits, big,
+                                    mesh, axis_name, data_axis)  # [B+pad, T]
+  if pad:
+    terms = terms[:b]
+  weighted = terms * jnp.real(big.coeffs)[None, :]
+  return jnp.stack([jnp.sum(weighted[:, a:b2], axis=1) for a, b2 in slices],
+                   axis=1)
