@@ -1,0 +1,115 @@
+"""Multi-run sweep launcher.
+
+Replaces the reference's XManager/Vertex-AI cloud launcher (reference
+baselines/launch.py:162-241) with a local process-pool fan-out: one
+`baselines.train` process per hyperparameter sweep point, each with its own
+output directory.  The sweep itself is identical (`config.get_sweep`,
+reference baselines/config.py:96-101).
+
+Usage:
+  python -m baselines.launch --config baselines/config.py \
+      --output_dir /tmp/qhbm_sweep --max_parallel 2 [--dry_run]
+  python -m baselines.launch ... --sweep_filter training.method=vanilla
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def build_jobs(config_path: str, output_dir: str, sweep, seed: int):
+  jobs = []
+  for i, point in enumerate(sweep):
+    label = "_".join(str(v) for v in point.values()) or f"point_{i}"
+    job_dir = os.path.join(output_dir, f"{i:03d}_{label}")
+    cmd = [
+        sys.executable, "-m", "baselines.train",
+        f"--config={config_path}",
+        f"--output_dir={job_dir}",
+        f"--seed={seed}",
+    ]
+    for flag, value in point.items():
+      cmd.append(f"--{flag}={value}")
+    jobs.append((job_dir, cmd))
+  return jobs
+
+
+def main():
+  from absl import app, flags
+  import importlib.util
+
+  config_path_flag = flags.DEFINE_string(
+      "config", os.path.join(os.path.dirname(__file__), "config.py"),
+      "Path to the config module providing get_config()/get_sweep().")
+  output_flag = flags.DEFINE_string("output_dir", "/tmp/qhbm_sweep",
+                                    "Root output directory for all jobs.")
+  parallel_flag = flags.DEFINE_integer("max_parallel", 1,
+                                       "Concurrent training processes.")
+  dry_flag = flags.DEFINE_bool("dry_run", False,
+                               "Print the job commands without running.")
+  filter_flag = flags.DEFINE_multi_string(
+      "sweep_filter", [],
+      "key=value filters on sweep points (e.g. training.method=vanilla).")
+  seed_flag = flags.DEFINE_integer("seed", 42, "Random seed for all jobs.")
+
+  def run(argv):
+    del argv
+    spec = importlib.util.spec_from_file_location("sweep_config",
+                                                  config_path_flag.value)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sweep = mod.get_sweep()
+    for f in filter_flag.value:
+      k, v = f.split("=", 1)
+      sweep = [p for p in sweep if str(p.get(f"config.{k}", "")) == v]
+    os.makedirs(output_flag.value, exist_ok=True)
+    jobs = build_jobs(config_path_flag.value, output_flag.value, sweep,
+                      seed_flag.value)
+    manifest = [{"dir": d, "cmd": c} for d, c in jobs]
+    with open(os.path.join(output_flag.value, "sweep_manifest.json"),
+              "w") as fp:
+      json.dump(manifest, fp, indent=2)
+    print(f"{len(jobs)} sweep points")
+    if dry_flag.value:
+      for d, c in jobs:
+        print(" ", " ".join(c))
+      return
+
+    running = []
+    results = {}
+    queue = list(jobs)
+    while queue or running:
+      while queue and len(running) < parallel_flag.value:
+        job_dir, cmd = queue.pop(0)
+        os.makedirs(job_dir, exist_ok=True)
+        log = open(os.path.join(job_dir, "stdout.log"), "w")
+        proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
+        running.append((job_dir, proc, log))
+        print(f"launched {job_dir} (pid {proc.pid})")
+      still = []
+      for job_dir, proc, log in running:
+        code = proc.poll()
+        if code is None:
+          still.append((job_dir, proc, log))
+        else:
+          log.close()
+          results[job_dir] = code
+          print(f"finished {job_dir} (exit {code})")
+      running = still
+      if running:
+        import time
+        time.sleep(2.0)
+    failures = {d: c for d, c in results.items() if c != 0}
+    if failures:
+      print(f"FAILED jobs: {json.dumps(failures, indent=2)}")
+      sys.exit(1)
+    print("all jobs succeeded")
+
+  app.run(run)
+
+
+if __name__ == "__main__":
+  main()

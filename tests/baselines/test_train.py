@@ -1,0 +1,104 @@
+"""End-to-end smoke tests of the experiment harness.
+
+Mirrors the reference's implicit contract that `baselines/train.py` runs the
+full VQT and QVARTZ loops for every training method; scaled down to 2 qubits
+and a couple of steps so CI stays fast.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from baselines import config as config_lib
+from baselines import train
+
+
+def _small_config(loss, method, **overrides):
+  config = config_lib.get_config()
+  config.dataset.num_rows = 2
+  config.dataset.num_cols = 1
+  config.dataset.beta_steps = 2
+  config.dataset.time_steps = 2
+  config.model.circuit_layers = 1
+  config.training.num_samples = 30
+  config.training.init_steps = 2
+  config.training.num_steps = 2
+  config.training.num_inner_steps = 2
+  config.training.loss = loss
+  config.training.method = method
+  config.logging.expensive_downsample = 2
+  config.logging.tensorboard = False
+  config.logging.checkpoint = False
+  for k, v in overrides.items():
+    node = config
+    *path, leaf = k.split(".")
+    for p in path:
+      node = getattr(node, p)
+    setattr(node, leaf, v)
+  return config
+
+
+def _read_metrics(results_dir, label, tag):
+  path = os.path.join(results_dir, "metrics", label, "train_model_trial_0",
+                      "metrics.jsonl")
+  out = []
+  with open(path) as f:
+    for line in f:
+      rec = json.loads(line)
+      if rec.get("tag") == tag:
+        out.append(rec["value"])
+  return out
+
+
+@pytest.mark.parametrize("method", ["vanilla", "natural", "mirror"])
+def test_vqt_methods_run(tmp_path, method):
+  config = _small_config("vqt", method)
+  results = train.run_experiment(config, str(tmp_path / method), seed=2)
+  losses = _read_metrics(results, "beta_0p5", "loss")
+  assert len(losses) == 2
+  assert all(np.isfinite(l) for l in losses)
+  fid = _read_metrics(results, "beta_0p5", "fidelity")
+  assert fid and 0.0 <= fid[-1] <= 1.0 + 1e-6
+
+
+def test_qvartz_runs(tmp_path):
+  config = _small_config("qvartz", "vanilla")
+  results = train.run_experiment(config, str(tmp_path / "qvartz"), seed=3)
+  # One thermal init point + time_steps evolution points.
+  labels = sorted(os.listdir(os.path.join(results, "metrics")))
+  assert any(l.startswith("beta_") for l in labels)
+  assert sum(l.startswith("time_") for l in labels) == 2
+  losses = _read_metrics(results, "time_1p5", "loss")
+  assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
+def test_vanilla_vqt_converges_toward_target(tmp_path):
+  """Longer vanilla run: the loss should approach -logZ from above and
+  fidelity should rise (the reference's self-consistency contract)."""
+  config = _small_config("vqt", "vanilla")
+  config.dataset.beta_steps = 1
+  config.dataset.beta_min = 1.0
+  config.dataset.beta_max = 1.0
+  config.model.circuit_layers = 2
+  config.training.init_steps = 60
+  config.training.learning_rate = 0.05
+  config.logging.expensive_downsample = 59
+  results = train.run_experiment(config, str(tmp_path / "conv"), seed=4)
+  losses = _read_metrics(results, "beta_1p0", "loss")
+  fid = _read_metrics(results, "beta_1p0", "fidelity")
+  assert losses[-1] < losses[0]
+  assert fid[-1] > 0.9
+
+
+def test_sweep_launcher_dry(tmp_path):
+  from baselines import launch
+  sweep = config_lib.get_sweep()
+  assert len(sweep) == 2 * 3 * 2 * 2
+  jobs = launch.build_jobs("baselines/config.py", str(tmp_path), sweep[:3],
+                           seed=1)
+  assert len(jobs) == 3
+  for job_dir, cmd in jobs:
+    assert "--config=baselines/config.py" in cmd
+    assert any(a.startswith("--config.training.loss=") for a in cmd)
