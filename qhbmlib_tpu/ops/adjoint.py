@@ -48,26 +48,186 @@ def _fwd(circuit, symbol_values, init_state, op):
   return terms, (symbol_values, psi, op)
 
 
+def _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam):
+  """Backward through a run of commuting diagonal gates.
+
+  Per-gate gradient: for diagonal U_g = exp(i * angle_g * m_g(x)),
+  dE/dangle_g = 2 Re <lam| i m_g (.) a_out> = -2 sum_x m_g(x) Im(conj(lam) a),
+  where a_out is the state AFTER the whole segment (all gates commute) --
+  one elementwise weight array serves every gate.  Un-applying the segment
+  to `a` and `lam` is a single shared phase multiply.
+  """
+  w = jnp.imag(jnp.conj(lam) * a)
+  # One (chunked) bilinear contraction evaluates every gate's mask reduction
+  # at once via the static rank-1 mask factors.
+  us, vs, owner = sv.diag_segment_factors(
+      seg_gates, [jnp.ones((), jnp.float32)] * len(seg_gates), a.shape)
+  per_factor = sv.factored_bilinear(us, vs, w)
+  for g_idx, gate in enumerate(seg_gates):
+    if gate.slot >= 0:
+      dangle = -2.0 * sum(per_factor[k] for k in range(len(owner))
+                          if owner[k] == g_idx)
+      grad_terms.append((gate.slot, gate.coeff * dangle))
+  total = sv.diag_segment_phase(seg_gates, seg_angles, a.shape)
+  phase = jnp.exp(-1j * total.astype(sv.COMPLEX_DTYPE))
+  return a * phase, lam * phase
+
+
+def _g_matrix(lam, a, q):
+  """Single-qubit reduced transition matrix G[i,j] = sum_other
+  conj(lam)[..i..] a[..j..]; dangle of any 1q operator M on qubit q is
+  2 Re sum_ij M[i,j] G[i,j]."""
+  r, c = a.shape
+  n = sv.num_qubits_of(a)
+  m = int(c).bit_length() - 1
+  nr = n - m
+  if q < nr:
+    pre = 2**q
+    lv = lam.reshape(pre, 2, -1)
+    av = a.reshape(pre, 2, -1)
+    return jnp.einsum("aib,ajb->ij", jnp.conj(lv), av)
+  pre = 2**(q - nr)
+  lv = lam.reshape(r, pre, 2, -1)
+  av = a.reshape(r, pre, 2, -1)
+  return jnp.einsum("rpiq,rpjq->ij", jnp.conj(lv), av)
+
+
+def _g_matrices(lam, a, qubits):
+  """Reduced matrices G_q for many qubits with few state passes: all MINOR
+  qubits come from one [C, C] cross contraction; MAJOR qubits batch into
+  triples whose joint reduced tensor yields three G's per pass.
+
+  Returns {q: G_q}.
+  """
+  r, c = a.shape
+  n = sv.num_qubits_of(a)
+  m = int(c).bit_length() - 1
+  nr = n - m
+  out = {}
+
+  minors = sorted(q for q in qubits if q >= nr)
+  if minors:
+    kmat = jnp.einsum("rc,rd->cd", jnp.conj(lam), a)  # [C, C]
+    for q in minors:
+      pos = q - nr
+      pre, post = 2**pos, 2**(m - pos - 1)
+      kt = kmat.reshape(pre, 2, post, pre, 2, post)
+      out[q] = jnp.einsum("aibajb->ij", kt)
+
+  majors = sorted(q for q in qubits if q < nr)
+  for i in range(0, len(majors), 3):
+    group = majors[i:i + 3]
+    if len(group) == 1:
+      out[group[0]] = _g_matrix(lam, a, group[0])
+    elif len(group) == 2:
+      q0, q1 = group
+      aa, bb = 2**q0, 2**(q1 - q0 - 1)
+      lv = jnp.conj(lam.reshape(aa, 2, bb, 2, -1))
+      av = a.reshape(aa, 2, bb, 2, -1)
+      gam = jnp.einsum("aibjc,axbyc->ijxy", lv, av)
+      out[q0] = jnp.einsum("ijxj->ix", gam)
+      out[q1] = jnp.einsum("ijiy->jy", gam)
+    else:
+      q0, q1, q2 = group
+      aa, bb, dd = 2**q0, 2**(q1 - q0 - 1), 2**(q2 - q1 - 1)
+      lv = jnp.conj(lam.reshape(aa, 2, bb, 2, dd, 2, -1))
+      av = a.reshape(aa, 2, bb, 2, dd, 2, -1)
+      gam = jnp.einsum("aibjckd,axbyczd->ijkxyz", lv, av)
+      out[q0] = jnp.einsum("ijkxjk->ix", gam)
+      out[q1] = jnp.einsum("ijkiyk->jy", gam)
+      out[q2] = jnp.einsum("ijkijz->kz", gam)
+  return out
+
+
+def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
+  """Backward through a run of 1-qubit dense gates.
+
+  Gates on distinct qubits commute, so for gate g (with later same-qubit
+  gates A): dE/dangle_g = 2 Re <lam| A dU_g U_g^dagger A^dagger |a_out>,
+  a 2x2 contraction against the reduced matrix G_q.  Un-applies merge per
+  qubit; all minor-qubit inverses combine into one [C, C] matmul.
+  """
+  r, c = a.shape
+  n = sv.num_qubits_of(a)
+  m = int(c).bit_length() - 1
+  nr = n - m
+  by_qubit = {}
+  for gate, angle in zip(seg_gates, seg_angles):
+    by_qubit.setdefault(gate.qubits[0], []).append((gate, angle))
+
+  grad_qubits = [q for q, chain in by_qubit.items()
+                 if any(gate.slot >= 0 for gate, _ in chain)]
+  g_mats = _g_matrices(lam, a, grad_qubits)
+  minor_inv = None
+  major_invs = []
+  for q in sorted(by_qubit):
+    chain = by_qubit[q]
+    g_mat = g_mats.get(q)
+    suffix = jnp.eye(2, dtype=sv.COMPLEX_DTYPE)
+    for gate, angle in reversed(chain):
+      mat = sv.gate_matrix(gate.kind, angle)
+      if gate.slot >= 0:
+        ang = jnp.asarray(angle, jnp.float32)
+        _, dmat = jax.jvp(lambda t: sv.gate_matrix(gate.kind, t), (ang,),
+                          (jnp.ones_like(ang),))
+        mg = suffix @ dmat @ jnp.conj(mat.T) @ jnp.conj(suffix.T)
+        dangle = 2.0 * jnp.real(jnp.sum(mg * g_mat))
+        grad_terms.append((gate.slot, gate.coeff * dangle))
+      suffix = suffix @ mat
+    v_inv = jnp.conj(suffix.T)
+    if q >= nr:
+      emb = sv._embed_minor_mat(v_inv, (q - nr,), m)
+      minor_inv = emb if minor_inv is None else emb @ minor_inv
+    else:
+      major_invs.append((q, v_inv))
+  # Un-apply a and lam together: stack into [2, R, C] so every pass serves
+  # both states, with major-qubit inverses packed into 3-qubit kron blocks.
+  pair = jnp.stack([a, lam])
+  if major_invs:
+    pair = jax.vmap(
+        lambda s: sv.apply_major_1q_packed(major_invs, s))(pair)
+  if minor_inv is not None:
+    pair = pair @ minor_inv.T
+  return pair[0], pair[1]
+
+
 def _bwd(circuit, res, g):
-  """g: cotangent [num_terms].  One reverse sweep over the gates."""
+  """g: cotangent [num_terms].  One segment-fused reverse sweep."""
   symbol_values, psi, op = res
   # lambda = sum_t g_t P_t |psi>; then dE/dtheta_k = 2 Re <lambda|dU_k|psi_{k-1}>
   lam = sv.apply_pauli_sum(psi, paulis.PauliSum(op.codes,
                                                 jnp.ones_like(op.coeffs),
                                                 op.num_qubits),
                            term_weights=g)
-  grad = jnp.zeros_like(symbol_values)
+  # Per-gate gradient contributions are collected and scattered ONCE at the
+  # end: a per-gate `.at[slot].add` chain serializes hundreds of tiny
+  # scatter ops on TPU and dominated the backward wall-clock.
+  grad_terms = []
   a = psi  # state after gate k (runs backward)
-  for gate in reversed(circuit.gates):
-    angle = sv.resolve_angle(gate, symbol_values)
-    # un-apply gate k: a becomes psi_{k-1}
-    a = _apply_inverse(gate, angle, a)
-    if gate.slot >= 0:
-      d_psi = sv.apply_gate_dangle(gate, angle, a)
-      dangle = 2.0 * jnp.real(
-          jnp.sum(jnp.conj(lam.reshape(-1)) * d_psi.reshape(-1)))
-      grad = grad.at[gate.slot].add(gate.coeff * dangle)
-    lam = _apply_inverse(gate, angle, lam)
+  gates = circuit.gates
+  angles = [sv.resolve_angle(gate, symbol_values) for gate in gates]
+  for cls, idxs in reversed(sv.segment_circuit(gates)):
+    seg_gates = [gates[i] for i in idxs]
+    seg_angles = [angles[i] for i in idxs]
+    if cls == "diag" and len(idxs) > 1:
+      a, lam = _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam)
+    elif cls == "1q":
+      a, lam = _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam)
+    else:
+      for gate, angle in reversed(list(zip(seg_gates, seg_angles))):
+        a = _apply_inverse(gate, angle, a)
+        if gate.slot >= 0:
+          d_psi = sv.apply_gate_dangle(gate, angle, a)
+          dangle = 2.0 * jnp.real(
+              jnp.sum(jnp.conj(lam.reshape(-1)) * d_psi.reshape(-1)))
+          grad_terms.append((gate.slot, gate.coeff * dangle))
+        lam = _apply_inverse(gate, angle, lam)
+  if grad_terms:
+    slots = jnp.asarray([s for s, _ in grad_terms], jnp.int32)
+    contribs = jnp.stack([d for _, d in grad_terms])
+    grad = jnp.zeros_like(symbol_values).at[slots].add(contribs)
+  else:
+    grad = jnp.zeros_like(symbol_values)
   zero_state = jnp.zeros_like(psi)
   zero_coeffs = jax.tree_util.tree_map(
       jnp.zeros_like,
@@ -83,6 +243,39 @@ def _apply_inverse(gate: ir.Gate, angle, state):
 adjoint_term_expectations.defvjp(_fwd, _bwd)
 
 
+# -- basis-state variant with O(1)-per-element residuals ----------------------
+#
+# Under `lax.map` (the batch chunking below), custom_vjp residuals are
+# STACKED across iterations; storing psi would cost batch * 2^n memory.  This
+# variant keeps only (values, bits) as residuals and recomputes the forward
+# state in the backward pass (one extra sweep, state-sized live memory).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _term_expectations_from_bits(circuit: ir.Circuit,
+                                 symbol_values: jnp.ndarray,
+                                 bits: jnp.ndarray,
+                                 op: paulis.PauliSum) -> jnp.ndarray:
+  psi = sv.apply_circuit(circuit, symbol_values,
+                         sv.basis_state(circuit.num_qubits, bits))
+  return sv.expectation_terms(psi, op)
+
+
+def _feb_fwd(circuit, symbol_values, bits, op):
+  out = _term_expectations_from_bits(circuit, symbol_values, bits, op)
+  return out, (symbol_values, bits, op)
+
+
+def _feb_bwd(circuit, res, g):
+  symbol_values, bits, op = res
+  psi = sv.apply_circuit(circuit, symbol_values,
+                         sv.basis_state(circuit.num_qubits, bits))
+  grad, _, zero_coeffs = _bwd(circuit, (symbol_values, psi, op), g)
+  return grad, None, zero_coeffs
+
+
+_term_expectations_from_bits.defvjp(_feb_fwd, _feb_bwd)
+
+
 def expectation(circuit: ir.Circuit,
                 symbol_values: jnp.ndarray,
                 init_state: jnp.ndarray,
@@ -95,18 +288,26 @@ def expectation(circuit: ir.Circuit,
 def batched_expectations(circuit: ir.Circuit,
                          symbol_values: jnp.ndarray,
                          init_bits: jnp.ndarray,
-                         ops: Tuple[paulis.PauliSum, ...]) -> jnp.ndarray:
+                         ops: Tuple[paulis.PauliSum, ...],
+                         batch_chunk: int = None) -> jnp.ndarray:
   """Expectations of each op against U|b> for each bitstring b.
 
   All terms of all ops are concatenated into ONE PauliSum so each batch
   element costs exactly one forward sweep plus one adjoint backward sweep,
   regardless of how many observables are measured.
 
+  The batch is processed in chunks of `batch_chunk` states (vmapped inside,
+  `lax.map` outside): the adjoint backward sweep keeps a handful of
+  state-sized buffers live per vmapped element, so an unchunked large batch
+  at high qubit counts exceeds HBM.  The default bounds the vmapped state
+  memory to ~128MB per buffer.
+
   Args:
     circuit: static circuit IR.
     symbol_values: [num_symbols] current parameter values.
     init_bits: [batch, n] int bitstrings; each becomes a basis init state.
     ops: tuple of PauliSums (e.g. operator shards).
+    batch_chunk: states per chunk (None = auto from qubit count).
 
   Returns:
     [batch, len(ops)] float32 expectations, adjoint-differentiable w.r.t.
@@ -124,9 +325,20 @@ def batched_expectations(circuit: ir.Circuit,
     start += op.num_terms
 
   def one(bits):
-    init = sv.basis_state(n, bits)
-    terms = adjoint_term_expectations(circuit, symbol_values, init, big)
+    terms = _term_expectations_from_bits(circuit, symbol_values, bits, big)
     weighted = terms * jnp.real(all_coeffs)
     return jnp.stack([jnp.sum(weighted[a:b]) for a, b in slices])
 
-  return jax.vmap(one)(init_bits)
+  batch = init_bits.shape[0]
+  if batch_chunk is None:
+    state_bytes = 8 * (2**n)
+    batch_chunk = max(1, (128 << 20) // state_bytes)
+  if batch_chunk >= batch:
+    return jax.vmap(one)(init_bits)
+  pad = (-batch) % batch_chunk
+  padded = jnp.concatenate(
+      [init_bits, jnp.zeros([pad, init_bits.shape[1]], init_bits.dtype)],
+      axis=0) if pad else init_bits
+  chunked = padded.reshape(-1, batch_chunk, init_bits.shape[1])
+  out = jax.lax.map(jax.vmap(one), chunked)
+  return out.reshape(-1, len(ops))[:batch]

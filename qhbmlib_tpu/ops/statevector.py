@@ -259,15 +259,24 @@ def apply_dense(mat: jnp.ndarray, qubits: Tuple[int, ...],
       view = state.reshape(a, 2, -1)
       out = jnp.einsum("ij,ajb->aib", mat, view)
       return out.reshape(r, c)
-    q0, q1 = qubits
-    s0, s1 = sorted((q0, q1))
-    a, b = 2**s0, 2**(s1 - s0 - 1)
-    view = state.reshape(a, 2, b, 2, -1)
-    mt = mat.reshape(2, 2, 2, 2)
-    if q0 == s0:
-      out = jnp.einsum("XYxy,axbyd->aXbYd", mt, view)
-    else:
-      out = jnp.einsum("XYxy,aybxd->aYbXd", mt, view)
+    if len(qubits) == 2:
+      q0, q1 = qubits
+      s0, s1 = sorted((q0, q1))
+      a, b = 2**s0, 2**(s1 - s0 - 1)
+      view = state.reshape(a, 2, b, 2, -1)
+      mt = mat.reshape(2, 2, 2, 2)
+      if q0 == s0:
+        out = jnp.einsum("XYxy,axbyd->aXbYd", mt, view)
+      else:
+        out = jnp.einsum("XYxy,aybxd->aYbXd", mt, view)
+      return out.reshape(r, c)
+    # 3 major qubits (must be sorted): used by the gate-packing fast path.
+    q0, q1, q2 = qubits
+    assert q0 < q1 < q2, qubits
+    a, b, d = 2**q0, 2**(q1 - q0 - 1), 2**(q2 - q1 - 1)
+    view = state.reshape(a, 2, b, 2, d, 2, -1)
+    mt = mat.reshape(2, 2, 2, 2, 2, 2)
+    out = jnp.einsum("XYZxyz,axbydze->aXbYdZe", mt, view)
     return out.reshape(r, c)
 
   # Mixed: one major (row) qubit, one minor (column) qubit.
@@ -363,15 +372,41 @@ def _popcount_np(x: np.ndarray) -> np.ndarray:
   return out
 
 
+def _is_diag_codes(codes) -> bool:
+  return all(code in (paulis.I, paulis.Z) for code in codes)
+
+
 def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
                     term_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-  """(sum_t w_t * coeffs[t] * P_t)|psi>."""
-  out = jnp.zeros_like(state)
-  for t in range(op.num_terms):
+  """(sum_t w_t * coeffs[t] * P_t)|psi>.
+
+  All purely-diagonal (I/Z) terms batch into ONE [R,K]x[K,C] matmul building
+  the combined sign-weight array; only X/Y terms pay per-term passes."""
+  r, c = state.shape
+  n = len(op.codes[0]) if op.num_terms else num_qubits_of(state)
+  m = int(c).bit_length() - 1
+  nr = n - m
+
+  def weight(t):
     w = op.coeffs[t].astype(COMPLEX_DTYPE)
     if term_weights is not None:
       w = w * term_weights[t].astype(COMPLEX_DTYPE)
-    out = out + w * apply_pauli_string(state, op.codes[t])
+    return w
+
+  diag_idx = [t for t in range(op.num_terms) if _is_diag_codes(op.codes[t])]
+  out = jnp.zeros_like(state)
+  if diag_idx:
+    us, vs = [], []
+    for t in diag_idx:
+      u, v = pauli_z_rank1(op.codes[t], nr, m, r)
+      us.append(u.astype(COMPLEX_DTYPE) * weight(t))
+      vs.append(jnp.asarray(v, COMPLEX_DTYPE))
+    d = factored_outer_sum(us, vs)  # [R, C]
+    out = out + d * state
+  for t in range(op.num_terms):
+    if t in diag_idx:
+      continue
+    out = out + weight(t) * apply_pauli_string(state, op.codes[t])
   return out
 
 
@@ -421,19 +456,299 @@ def apply_gate_dangle(gate: ir.Gate, angle, state: jnp.ndarray) -> jnp.ndarray:
   return apply_dense(dmat, gate.qubits, state)
 
 
+# Gate fusion classes: runs of 1-qubit dense gates merge into per-qubit
+# matrix products (one combined [C,C] MXU matmul for all minor qubits); runs
+# of diagonal gates collapse into a single fused phase pass.  Both cut the
+# number of O(2^n) state passes -- the HBM-bandwidth bottleneck.
+_ONEQ_DENSE_KINDS = frozenset({ir.XP, ir.YP, ir.HP, ir.RX, ir.RY})
+_DIAG_KINDS = frozenset({ir.ZP, ir.RZ, ir.CZP, ir.ZZP, ir.GPHASE})
+
+
+def _gate_class(gate: ir.Gate) -> str:
+  if gate.kind in _ONEQ_DENSE_KINDS:
+    return "1q"
+  if gate.kind in _DIAG_KINDS:
+    return "diag"
+  if gate.kind == ir.PROT and all(p == paulis.Z for p in gate.paulis):
+    return "diag"
+  return "single"
+
+
+@functools.lru_cache(maxsize=None)
+def segment_circuit(gates: Tuple[ir.Gate, ...]):
+  """Greedy segmentation into fusable runs: [(cls, (gate_indices...)), ...].
+
+  cls is '1q' (run of 1-qubit dense gates -- distinct qubits commute),
+  'diag' (run of diagonal gates -- all commute) or 'single'.
+  """
+  segments = []
+  i = 0
+  while i < len(gates):
+    cls = _gate_class(gates[i])
+    j = i + 1
+    while j < len(gates) and cls != "single" and _gate_class(gates[j]) == cls:
+      j += 1
+    segments.append((cls, tuple(range(i, j))))
+    i = j
+  return tuple(segments)
+
+
+def bit_vec_r(q: int, nr: int, r: int) -> jnp.ndarray:
+  """[R] float bit values of major qubit q over the row index."""
+  rows = jax.lax.broadcasted_iota(jnp.int32, (r,), 0)
+  return (((rows >> (nr - 1 - q)) & 1)).astype(jnp.float32)
+
+
+def bit_vec_c(q: int, nr: int, m: int) -> np.ndarray:
+  """[C] static float bit values of minor qubit q over the column index."""
+  return (((np.arange(2**m) >> (m - 1 - (q - nr))) & 1)).astype(np.float32)
+
+
+def diag_rank1(gate: ir.Gate, nr: int, m: int, r: int):
+  """Rank-1 decomposition of d(phase angle)/d(resolved angle) over the
+  [R, C] index space: returns [(u [R], v [C]), ...] with
+  m(x) = sum_k u_k(row) * v_k(col).  Every diagonal gate kind decomposes
+  into at most 3 rank-1 components, which lets whole segments of diagonal
+  work (phases, expectations, gradients) collapse into single matmuls."""
+  c = 2**m
+  ones_r = jnp.ones((r,), jnp.float32)
+  ones_c = np.ones((c,), np.float32)
+
+  def bfac(q):
+    if q < nr:
+      return bit_vec_r(q, nr, r), ones_c
+    return ones_r, bit_vec_c(q, nr, m)
+
+  if gate.kind == ir.ZP:
+    u, v = bfac(gate.qubits[0])
+    return [(np.pi * u, v)]
+  if gate.kind == ir.RZ:
+    u, v = bfac(gate.qubits[0])
+    return [(u, v), (-0.5 * ones_r, ones_c)]
+  if gate.kind == ir.CZP:
+    u0, v0 = bfac(gate.qubits[0])
+    u1, v1 = bfac(gate.qubits[1])
+    return [(np.pi * u0 * u1, v0 * v1)]
+  if gate.kind == ir.ZZP:
+    u0, v0 = bfac(gate.qubits[0])
+    u1, v1 = bfac(gate.qubits[1])
+    # xor = b0 + b1 - 2 b0 b1
+    return [(np.pi * u0, v0), (np.pi * u1, v1),
+            (-2.0 * np.pi * u0 * u1, v0 * v1)]
+  if gate.kind == ir.GPHASE:
+    return [(ones_r, ones_c)]
+  # PROT all-Z: -(1-2*parity) = -prod_q (1-2 b_q), which splits into a
+  # row-parity sign times a column-parity sign.
+  sr = ones_r
+  sc = ones_c
+  for q in gate.qubits:
+    if q < nr:
+      sr = sr * (1.0 - 2.0 * bit_vec_r(q, nr, r))
+    else:
+      sc = sc * (1.0 - 2.0 * bit_vec_c(q, nr, m))
+  return [(-sr, sc)]
+
+
+def pauli_z_rank1(codes, nr: int, m: int, r: int):
+  """(u [R], v [C]) sign factors of a purely-diagonal (I/Z) Pauli string:
+  s(x) = u(row) * v(col)."""
+  sr = jnp.ones((r,), jnp.float32)
+  sc = np.ones((2**m,), np.float32)
+  for q, code in enumerate(codes):
+    if code == paulis.Z:
+      if q < nr:
+        sr = sr * (1.0 - 2.0 * bit_vec_r(q, nr, r))
+      else:
+        sc = sc * (1.0 - 2.0 * bit_vec_c(q, nr, m))
+  return sr, sc
+
+
+def diag_mask(gate: ir.Gate, bit) -> jnp.ndarray:
+  """m(x) = d(phase angle at basis state x)/d(resolved gate angle) for a
+  diagonal gate; the gate's phase is exp(i * angle * m(x)).  `bit(q)` returns
+  the broadcastable float bit value of qubit q."""
+  if gate.kind == ir.ZP:
+    return np.pi * bit(gate.qubits[0])
+  if gate.kind == ir.RZ:
+    return bit(gate.qubits[0]) - 0.5
+  if gate.kind == ir.CZP:
+    return np.pi * bit(gate.qubits[0]) * bit(gate.qubits[1])
+  if gate.kind == ir.ZZP:
+    b0, b1 = bit(gate.qubits[0]), bit(gate.qubits[1])
+    return np.pi * (b0 + b1 - 2.0 * b0 * b1)  # xor
+  if gate.kind == ir.GPHASE:
+    return jnp.ones((), jnp.float32)
+  # PROT, all-Z string: exp(-i*a*prod Z) -> angle = -a*(1-2*parity)
+  par = jnp.zeros((), jnp.float32)
+  for q in gate.qubits:
+    b = bit(q)
+    par = par + b - 2.0 * par * b  # xor accumulate
+  return -(1.0 - 2.0 * par)
+
+
+def make_bit_fn(state_shape_rc):
+  """Returns bit(q) -> broadcastable float32 bit value over an [R, C] state."""
+  r, c = state_shape_rc
+  n = (int(r) * int(c)).bit_length() - 1
+  m = int(c).bit_length() - 1
+  nr = n - m
+  rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+
+  def bit(q):
+    if q < nr:
+      return (((rows >> (nr - 1 - q)) & 1)).astype(jnp.float32)
+    vec = ((np.arange(c) >> (m - 1 - (q - nr))) & 1).astype(np.float32)
+    return jnp.asarray(vec)[None, :]
+
+  return bit
+
+
+def apply_major_1q_packed(major_mats, state: jnp.ndarray) -> jnp.ndarray:
+  """Applies per-qubit 2x2 matrices on distinct MAJOR qubits, packed into
+  kron-combined 3-qubit blocks (one state pass per 3 qubits instead of 1).
+
+  Args:
+    major_mats: list of (qubit, 2x2 matrix), distinct qubits.
+  """
+  items = sorted(major_mats, key=lambda kv: kv[0])
+  for i in range(0, len(items), 3):
+    group = items[i:i + 3]
+    qs = tuple(q for q, _ in group)
+    mat = group[0][1]
+    for _, nxt in group[1:]:
+      mat = jnp.kron(mat, nxt)
+    state = apply_dense(mat, qs, state)
+  return state
+
+
+def _apply_1q_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
+  """A run of 1-qubit dense gates: gates on distinct qubits commute, so they
+  merge per qubit; minor-qubit products combine into one [C, C] matmul and
+  major-qubit matrices pack into 3-qubit kron blocks."""
+  r, c = state.shape
+  n = num_qubits_of(state)
+  m = c.bit_length() - 1
+  nr = n - m
+  by_qubit = {}
+  for gate, angle in zip(gates, angles):
+    by_qubit.setdefault(gate.qubits[0], []).append(
+        gate_matrix(gate.kind, angle))
+  minor_combined = None
+  major_mats = []
+  for q in sorted(by_qubit):
+    mat = by_qubit[q][0]
+    for nxt in by_qubit[q][1:]:
+      mat = nxt @ mat
+    if q >= nr:
+      emb = _embed_minor_mat(mat, (q - nr,), m)
+      minor_combined = emb if minor_combined is None else emb @ minor_combined
+    else:
+      major_mats.append((q, mat))
+  state = apply_major_1q_packed(major_mats, state)
+  if minor_combined is not None:
+    state = state @ minor_combined.T
+  return state
+
+
+# Cap on the transient [K_chunk, R] factor matrices: keeps the rank-1
+# machinery memory-bounded when R is huge (28 qubits -> R = 2^21) or the
+# term count is large (KOBE shards -> hundreds of diagonal Pauli strings).
+_FACTOR_CHUNK_BYTES = 128 << 20
+
+
+def _factor_chunk_len(us) -> int:
+  r = int(us[0].shape[0])
+  return max(1, _FACTOR_CHUNK_BYTES // (8 * r))
+
+
+def factored_outer_sum(us, vs) -> jnp.ndarray:
+  """sum_k outer(u_k, v_k) as chunked [R, Kc] x [Kc, C] matmuls."""
+  total = None
+  ck = _factor_chunk_len(us)
+  for i in range(0, len(us), ck):
+    u_mat = jnp.stack(us[i:i + ck])
+    v_mat = jnp.stack([jnp.asarray(v) for v in vs[i:i + ck]])
+    part = u_mat.T @ v_mat
+    total = part if total is None else total + part
+  return total
+
+
+def factored_bilinear(us, vs, p: jnp.ndarray) -> jnp.ndarray:
+  """[K] vector of u_k^T P v_k, chunked so no [K, R] matrix materializes."""
+  outs = []
+  ck = _factor_chunk_len(us)
+  for i in range(0, len(us), ck):
+    u_mat = jnp.stack(us[i:i + ck])
+    v_mat = jnp.stack([jnp.asarray(v) for v in vs[i:i + ck]])
+    w = p @ v_mat.T  # [R, Kc]
+    outs.append(jnp.einsum("kr,rk->k", u_mat, w))
+  return jnp.concatenate(outs)
+
+
+def diag_segment_factors(gates, angles, state_shape_rc):
+  """Rank-1 factors of a diagonal segment: (us, vs, owner) lists with total
+  phase = sum_k angle_{owner[k]} us[k](r) vs[k](c)."""
+  r, c = state_shape_rc
+  n = (int(r) * int(c)).bit_length() - 1
+  m = int(c).bit_length() - 1
+  nr = n - m
+  us, vs, owner = [], [], []
+  for g_idx, gate in enumerate(gates):
+    for u, v in diag_rank1(gate, nr, m, r):
+      us.append(u * jnp.asarray(angles[g_idx], jnp.float32))
+      vs.append(jnp.asarray(v))
+      owner.append(g_idx)
+  return us, vs, owner
+
+
+def diag_segment_phase(gates, angles, state_shape_rc) -> jnp.ndarray:
+  """Total phase angle array [R, C] of a run of diagonal gates, built from
+  chunked matmuls over the rank-1 mask factors."""
+  us, vs, _ = diag_segment_factors(gates, angles, state_shape_rc)
+  return factored_outer_sum(us, vs)
+
+
+def _apply_diag_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
+  """A run of diagonal gates: all diagonal matrices commute, so their phase
+  angles accumulate into one broadcasted array and the state is multiplied
+  once by exp(i * total)."""
+  total = diag_segment_phase(gates, angles, state.shape)
+  return state * jnp.exp(1j * total.astype(COMPLEX_DTYPE))
+
+
 def apply_circuit(circuit: ir.Circuit,
                   symbol_values: jnp.ndarray,
                   state: jnp.ndarray,
-                  angle_offsets: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  angle_offsets: Optional[jnp.ndarray] = None,
+                  fuse: bool = True) -> jnp.ndarray:
   """Applies the whole circuit.  `angle_offsets[g]` (optional, [num_gates])
   is added to gate g's resolved angle -- the hook used by the parameter-shift
-  differentiator to shift individual gate occurrences.
+  differentiator to shift individual gate occurrences.  `fuse` enables
+  trace-time gate fusion (see _apply_1q_segment / _apply_diag_segment).
   """
+  angles = []
   for g_idx, gate in enumerate(circuit.gates):
     angle = resolve_angle(gate, symbol_values)
     if angle_offsets is not None:
       angle = angle + angle_offsets[g_idx]
-    state = apply_gate(gate, angle, state)
+    angles.append(angle)
+
+  if not fuse:
+    for gate, angle in zip(circuit.gates, angles):
+      state = apply_gate(gate, angle, state)
+    return state
+
+  gates = circuit.gates
+  for cls, idxs in segment_circuit(gates):
+    seg_gates = [gates[i] for i in idxs]
+    seg_angles = [angles[i] for i in idxs]
+    if cls == "1q":
+      state = _apply_1q_segment(seg_gates, seg_angles, state)
+    elif cls == "diag" and len(idxs) > 1:
+      state = _apply_diag_segment(seg_gates, seg_angles, state)
+    else:
+      for gate, angle in zip(seg_gates, seg_angles):
+        state = apply_gate(gate, angle, state)
   return state
 
 
@@ -445,13 +760,31 @@ def expectation_terms(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
   """Per-term real expectations <psi|P_t|psi>, shape [num_terms].
 
   Coefficients are NOT applied; dot with `op.coeffs` outside so that
-  coefficient gradients flow through plain autodiff.
+  coefficient gradients flow through plain autodiff.  All purely-diagonal
+  (I/Z) terms evaluate together as one bilinear contraction against |psi|^2;
+  only X/Y terms pay a per-term state pass.
   """
+  r, c = state.shape
+  n = len(op.codes[0]) if op.num_terms else num_qubits_of(state)
+  m = int(c).bit_length() - 1
+  nr = n - m
   conj = state.conj()
+  diag_idx = [t for t in range(op.num_terms) if _is_diag_codes(op.codes[t])]
+  diag_vals = None
+  if diag_idx:
+    prob = jnp.real(conj * state)  # |psi|^2 as [R, C]
+    factors = [pauli_z_rank1(op.codes[t], nr, m, r) for t in diag_idx]
+    diag_vals = factored_bilinear([u for u, _ in factors],
+                                  [v for _, v in factors], prob)
   vals = []
+  k = 0
   for t in range(op.num_terms):
-    p_state = apply_pauli_string(state, op.codes[t])
-    vals.append(jnp.real(jnp.sum(conj * p_state)))
+    if t in diag_idx:
+      vals.append(diag_vals[k])
+      k += 1
+    else:
+      p_state = apply_pauli_string(state, op.codes[t])
+      vals.append(jnp.real(jnp.sum(conj * p_state)))
   return jnp.stack(vals)
 
 

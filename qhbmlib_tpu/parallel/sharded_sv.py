@@ -210,15 +210,46 @@ def apply_gate_dangle_local(gate: ir.Gate, angle, local: jnp.ndarray, k: int,
   return _apply_dense_routed(dmat, gate.qubits, local, k, axis_name)
 
 
+import dataclasses as _dataclasses
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _shift_gate(gate: ir.Gate, k: int) -> ir.Gate:
+  return _dataclasses.replace(gate,
+                              qubits=tuple(q - k for q in gate.qubits))
+
+
+def _segment_is_local(gates, idxs, k) -> bool:
+  return all(q >= k for i in idxs for q in gates[i].qubits)
+
+
 def apply_circuit_local(circuit: ir.Circuit, symbol_values: jnp.ndarray,
                         local: jnp.ndarray, k: int, axis_name: str,
                         angle_offsets: Optional[jnp.ndarray] = None
                         ) -> jnp.ndarray:
-  for g_idx, gate in enumerate(circuit.gates):
+  """Sharded circuit application.  Segments that touch only local qubits
+  reuse the dense engine's fused appliers on the local block (per-qubit 1q
+  merging, packed kron blocks, single-matmul diagonal phases); only gates on
+  global qubits pay the per-gate partner-exchange path."""
+  gates = circuit.gates
+  angles = []
+  for g_idx, gate in enumerate(gates):
     angle = sv.resolve_angle(gate, symbol_values)
     if angle_offsets is not None:
       angle = angle + angle_offsets[g_idx]
-    local = apply_gate_local(gate, angle, local, k, axis_name)
+    angles.append(angle)
+  for cls, idxs in sv.segment_circuit(gates):
+    seg_angles = [angles[i] for i in idxs]
+    if _segment_is_local(gates, idxs, k) and cls in ("1q", "diag"):
+      seg_gates = [_shift_gate(gates[i], k) for i in idxs]
+      if cls == "1q":
+        local = sv._apply_1q_segment(seg_gates, seg_angles, local)
+      else:
+        local = sv._apply_diag_segment(seg_gates, seg_angles, local)
+    else:
+      for j, i in enumerate(idxs):
+        local = apply_gate_local(gates[i], seg_angles[j], local, k, axis_name)
   return local
 
 
@@ -263,7 +294,14 @@ def _term_expectations_fwd_local(circuit, values, bits, big_op, k, axis_name):
 def _term_expectations_bwd_local(circuit, values, bits, big_op, g, k,
                                  axis_name):
   """Adjoint reverse sweep; recomputes the forward state (memory O(2^(n-k))
-  per device instead of carrying per-batch-element residual states)."""
+  per device instead of carrying per-batch-element residual states).
+
+  Local-only segments reuse the dense engine's fused backward helpers on
+  the local block; per-gate gradient contributions collect into one stacked
+  psum + scatter at the end.
+  """
+  from qhbmlib_tpu.ops import adjoint as dense_adjoint
+
   psi = apply_circuit_local(circuit, values,
                             basis_state_local(circuit.num_qubits, k, bits,
                                               axis_name), k, axis_name)
@@ -273,19 +311,37 @@ def _term_expectations_bwd_local(circuit, values, bits, big_op, g, k,
   for t in range(ones_op.num_terms):
     lam = lam + g[t].astype(COMPLEX_DTYPE) * apply_pauli_string_local(
         psi, ones_op.codes[t], k, axis_name)
-  grad = jnp.zeros_like(values)
+  grad_terms = []
   a = psi
-  for gate in reversed(circuit.gates):
-    angle = sv.resolve_angle(gate, values)
-    a = _apply_inverse_local(gate, angle, a, k, axis_name)
-    if gate.slot >= 0:
-      d_psi = apply_gate_dangle_local(gate, angle, a, k, axis_name)
-      dangle = 2.0 * jnp.real(
-          jnp.sum(jnp.conj(lam.reshape(-1)) * d_psi.reshape(-1)))
-      dangle = jax.lax.psum(dangle, axis_name)
-      grad = grad.at[gate.slot].add(gate.coeff * dangle)
-    lam = _apply_inverse_local(gate, angle, lam, k, axis_name)
-  return grad
+  gates = circuit.gates
+  angles = [sv.resolve_angle(gate, values) for gate in gates]
+  for cls, idxs in reversed(sv.segment_circuit(gates)):
+    seg_angles = [angles[i] for i in idxs]
+    if _segment_is_local(gates, idxs, k) and cls in ("1q", "diag"):
+      seg_gates = [_shift_gate(gates[i], k) for i in idxs]
+      if cls == "diag":
+        a, lam = dense_adjoint._bwd_diag_segment(seg_gates, seg_angles,
+                                                 grad_terms, a, lam)
+      else:
+        a, lam = dense_adjoint._bwd_1q_segment(seg_gates, seg_angles,
+                                               grad_terms, a, lam)
+    else:
+      for j, i in reversed(list(enumerate(idxs))):
+        gate, angle = gates[i], seg_angles[j]
+        a = _apply_inverse_local(gate, angle, a, k, axis_name)
+        if gate.slot >= 0:
+          d_psi = apply_gate_dangle_local(gate, angle, a, k, axis_name)
+          dangle = 2.0 * jnp.real(
+              jnp.sum(jnp.conj(lam.reshape(-1)) * d_psi.reshape(-1)))
+          grad_terms.append((gate.slot, gate.coeff * dangle))
+        lam = _apply_inverse_local(gate, angle, lam, k, axis_name)
+  if not grad_terms:
+    return jnp.zeros_like(values)
+  # Local-segment contributions are per-device partial sums; one psum of the
+  # stacked vector covers every gate at once.
+  slots = jnp.asarray([s for s, _ in grad_terms], jnp.int32)
+  contribs = jax.lax.psum(jnp.stack([d for _, d in grad_terms]), axis_name)
+  return jnp.zeros_like(values).at[slots].add(contribs)
 
 
 # ---------------------------------------------------------------------------
@@ -438,6 +494,13 @@ def batched_expectations(circuit: ir.Circuit,
   rows are discarded.
   """
   n = circuit.num_qubits
+  if mesh.shape[axis_name] == 1 and (data_axis is None or
+                                     mesh.shape.get(data_axis, 1) == 1):
+    # Degenerate mesh (single shard): the dense engine's fused-segment
+    # adjoint path is strictly faster; semantics identical.
+    from qhbmlib_tpu.ops import adjoint
+    return adjoint.batched_expectations(circuit, symbol_values, init_bits,
+                                        ops)
   big, slices = _concat_ops(ops, n)
   b = init_bits.shape[0]
   pad = 0

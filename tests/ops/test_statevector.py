@@ -297,3 +297,44 @@ def test_exp_pauli_sum_trotter():
   from scipy.linalg import expm
   expected = expm(-1j * t * np.asarray(h.dense(), np.complex128))
   np.testing.assert_allclose(u, expected, atol=1e-5)
+
+
+def test_batched_expectations_chunked_matches_unchunked():
+  """The lax.map chunked batch path is numerically identical to plain vmap."""
+  circuit = random_circuit(3, 2, seed=12)
+  values = jnp.asarray(RNG.uniform(-1, 1, circuit.num_symbols), jnp.float32)
+  ops = (paulis.pauli_string(3, {0: "Z"}),
+         paulis.pauli_string(3, {1: "X", 2: "Z"}))
+  bits = jnp.asarray(sv.all_bitstrings(3)[:5])
+
+  full = adjoint.batched_expectations(circuit, values, bits, ops,
+                                      batch_chunk=16)
+  chunked = adjoint.batched_expectations(circuit, values, bits, ops,
+                                         batch_chunk=2)
+  np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-6)
+
+  def loss(v, chunk):
+    return jnp.sum(
+        adjoint.batched_expectations(circuit, v, bits, ops,
+                                     batch_chunk=chunk))
+
+  g_full = jax.grad(lambda v: loss(v, 16))(values)
+  g_chunk = jax.grad(lambda v: loss(v, 2))(values)
+  np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_full),
+                             atol=1e-5)
+
+
+def test_jit_toggle_on_simulator():
+  """Engine behaves identically eagerly and under jit (reference
+  eager_mode_toggle contract)."""
+  import tests.test_util as test_util
+  circuit = random_circuit(3, 2, seed=13)
+  values = jnp.asarray(RNG.uniform(-1, 1, circuit.num_symbols), jnp.float32)
+  op = paulis.pauli_sum_from_strings(3, [(0.5, {0: "Z"}), (1.0, {1: "X"})])
+
+  @test_util.jit_toggle
+  def run():
+    state = sv.simulate(circuit, values)
+    return sv.expectation(state, op)
+
+  run()

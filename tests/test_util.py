@@ -44,6 +44,26 @@ def approximate_gradient(f: Callable, params, delta: float = 1e-2):
   return jax.tree_util.tree_unflatten(treedef, grads)
 
 
+def jit_toggle(f: Callable) -> Callable:
+  """Runs f both traced (jit) and eagerly, asserting identical results.
+
+  The JAX analog of the reference's `eager_mode_toggle`
+  (reference tests/test_util.py:169-183), which wrapped every behavioral
+  test in tf.function and re-ran it eagerly.  Returns the jitted value.
+  """
+
+  def wrapped(*args, **kwargs):
+    eager = f(*args, **kwargs)
+    with jax.disable_jit(False):
+      traced = jax.jit(lambda: f(*args, **kwargs))()
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5), eager, traced)
+    return traced
+
+  return wrapped
+
+
 def random_pauli_sum(num_qubits: int, num_terms: int, seed: int = 0):
   """Random Hermitian PauliSum."""
   rng = np.random.RandomState(seed)
