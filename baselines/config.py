@@ -86,6 +86,7 @@ def get_config():
   logging.expensive_downsample = 1
   logging.tensorboard = True  # JSONL metrics are always written.
   logging.checkpoint = True  # orbax checkpoints of trained parameters.
+  logging.profiler_steps = 0  # >0: capture a jax.profiler trace of N steps.
   config.logging = logging
 
   config.args = {

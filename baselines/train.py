@@ -440,7 +440,17 @@ def train_model(qhbm_obj: qhbm.QHBM,
       return optax.apply_updates(p, updates), o, inner, aux, igrads
 
   log = config.logging
+  profiler_active = False
   for step in range(num_steps):
+    # jax.profiler trace of the first few steady-state steps (skip step 0,
+    # which includes compilation).  The reference had no profiling at all
+    # (SURVEY.md section 5); traces land under <metrics_dir>/profile.
+    if getattr(log, "profiler_steps", 0) > 0 and step == 1:
+      jax.profiler.start_trace(os.path.join(metrics_dir, "profile"))
+      profiler_active = True
+    if profiler_active and step == 1 + log.profiler_steps:
+      jax.profiler.stop_trace()
+      profiler_active = False
     key, k_step = jax.random.split(key)
     extra = None
     if method == "vanilla":
@@ -534,6 +544,8 @@ def train_model(qhbm_obj: qhbm.QHBM,
             qhbm_utils.density_matrix(modular_hamiltonian))
         metrics_writer.image("density_matrix", img, step)
 
+  if profiler_active:
+    jax.profiler.stop_trace()
   qhbm_obj.set_params(params)
   if hasattr(qhbm_obj.e_inference, "_chain_state") and ebm_state is not None:
     qhbm_obj.e_inference._chain_state = ebm_state

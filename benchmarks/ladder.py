@@ -1,0 +1,184 @@
+"""Scale-ladder benchmark configs (BASELINE.md):
+
+  r1: 2-qubit TFIM thermal state -- Bernoulli EBM + hardware-efficient
+      ansatz, VQT, exact statevector (CPU-runnable).
+  r2: 8-qubit Heisenberg QMHL -- learn the modular Hamiltonian of a known
+      thermal state served by ThermalStateData.
+  r3: 16-qubit KOBE 2-local energy + layered ansatz VQT with
+      parameter-shift (sampled) gradients.
+  r4: 24-qubit batched-circuit VQT -- amplitude-sharded statevector
+      (ShardedQuantumInference over the available mesh).
+  r5: 28-qubit non-factorized EBM with Gibbs-With-Gradients MCMC sampling +
+      adjoint-gradient QMHL.
+
+Each rung builds a full jitted train step (sampling + loss + custom
+gradients + Adam update).  `smoke=True` shrinks qubit counts/batches so the
+same code paths run in CI on CPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qhbmlib_tpu import data as data_module
+from qhbmlib_tpu import models, nn, parallel
+from qhbmlib_tpu.inference import ebm, qhbm, qmhl_loss, qnn, vqt_loss
+from qhbmlib_tpu.models import circuit_utils
+from qhbmlib_tpu.ops import paulis
+
+
+def _tfim(n, h=1.0, j=1.0):
+  terms = [(-h, {q: "X"}) for q in range(n)]
+  terms += [(-j, {q: "Z", (q + 1) % n: "Z"}) for q in range(n - 1)]
+  return paulis.pauli_sum_from_strings(n, terms)
+
+
+def _heisenberg(n, j=1.0):
+  terms = []
+  for q in range(n - 1):
+    for p in ("X", "Y", "Z"):
+      terms.append((j, {q: p, q + 1: p}))
+  return paulis.pauli_sum_from_strings(n, terms)
+
+
+def _vqt_step(qhbm_obj, target, beta, optimizer):
+  import optax
+  loss_fn = vqt_loss.make_vqt(qhbm_obj, target)
+  beta = jnp.asarray(beta, jnp.float32)
+
+  @jax.jit
+  def step(params, opt_state, key, ebm_state):
+    def scalar(p):
+      loss, new_state = loss_fn(p, key, beta, ebm_state)
+      return loss, new_state
+
+    (loss, new_state), grads = jax.value_and_grad(scalar, has_aux=True)(
+        params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return loss, optax.apply_updates(params, updates), opt_state, new_state
+
+  params = qhbm_obj.params
+  return step, params, optimizer.init(params)
+
+
+def _qmhl_step(data, qhbm_obj, optimizer):
+  import optax
+  loss_fn = qmhl_loss.make_qmhl(data, qhbm_obj)
+  data_params = data.params
+
+  @jax.jit
+  def step(params, opt_state, key, ebm_state):
+    def scalar(p):
+      loss, states = loss_fn({"model": p, "data": data_params}, key,
+                             ebm_state)
+      return loss, states
+
+    (loss, states), grads = jax.value_and_grad(scalar, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return loss, optax.apply_updates(params, updates), opt_state, states
+
+  params = qhbm_obj.params
+  return step, params, optimizer.init(params)
+
+
+def build_rung(name: str, smoke: bool = False):
+  """Returns (step_fn, params, opt_state, initial_ebm_state, meta).
+
+  step_fn(params, opt_state, key, ebm_state) ->
+      (loss, params, opt_state, ebm_state)
+  """
+  import optax
+  opt = optax.adam(1e-2)
+
+  if name == "r1_tfim2_vqt":
+    n = 2
+    energy = models.BernoulliEnergy(list(range(n)))
+    e_inf = ebm.BernoulliEnergyInference(energy, 500, initial_seed=1)
+    circuit = models.DirectQuantumCircuit(
+        circuit_utils.hardware_efficient_ansatz(n, 2))
+    q_inf = qnn.AnalyticQuantumInference(circuit)
+    h = qhbm.QHBM(e_inf, q_inf)
+    step, params, opt_state = _vqt_step(h, _tfim(n), 1.0, opt)
+    return step, params, opt_state, None, {"n": n, "loss": "vqt"}
+
+  if name == "r2_heis8_qmhl":
+    n = 4 if smoke else 8
+    from baselines import utils as baselines_utils
+    target = _heisenberg(n)
+    rho = baselines_utils.get_thermal_state(
+        1.0, jnp.asarray(target.dense()))
+    data = data_module.ThermalStateData(rho)
+    energy = models.KOBE(list(range(n)), 2)
+    e_inf = ebm.AnalyticEnergyInference(energy, 500, initial_seed=2)
+    circuit = models.DirectQuantumCircuit(
+        circuit_utils.hardware_efficient_ansatz(n, 2 if smoke else 4))
+    q_inf = qnn.AnalyticQuantumInference(circuit)
+    h = qhbm.QHBM(e_inf, q_inf)
+    step, params, opt_state = _qmhl_step(data, h, opt)
+    return step, params, opt_state, None, {"n": n, "loss": "qmhl"}
+
+  if name == "r3_kobe16_vqt_shift":
+    n = 6 if smoke else 16
+    shots = 100 if smoke else 1000
+    energy = models.KOBE(list(range(n)), 2)
+    e_inf = ebm.AnalyticEnergyInference(
+        energy, 100, initial_seed=3,
+        max_unique_samples=4 if not smoke else None)
+    circuit = models.DirectQuantumCircuit(
+        circuit_utils.hardware_efficient_ansatz(n, 1 if smoke else 2))
+    q_inf = qnn.SampledQuantumInference(circuit, shots)
+    h = qhbm.QHBM(e_inf, q_inf)
+    step, params, opt_state = _vqt_step(h, _tfim(n), 1.0, opt)
+    return step, params, opt_state, None, {"n": n, "loss": "vqt",
+                                           "grad": "parameter-shift"}
+
+  if name == "r4_tfim24_sharded_vqt":
+    n = 8 if smoke else 24
+    devices = jax.devices()
+    state = 1
+    while state * 2 <= len(devices):
+      state *= 2
+    mesh = parallel.make_mesh(data=1, state=state,
+                              devices=devices[:state])
+    energy = models.BernoulliEnergy(list(range(n)))
+    e_inf = ebm.BernoulliEnergyInference(energy, 100, initial_seed=4,
+                                         max_unique_samples=8)
+    circuit = models.DirectQuantumCircuit(
+        circuit_utils.hardware_efficient_ansatz(n, 2))
+    q_inf = parallel.ShardedQuantumInference(circuit, mesh, data_axis=None)
+    h = qhbm.QHBM(e_inf, q_inf)
+    step, params, opt_state = _vqt_step(h, _tfim(n), 1.0, opt)
+    return step, params, opt_state, None, {"n": n, "loss": "vqt",
+                                           "state_shards": state}
+
+  if name == "r5_gwg28_qmhl":
+    n = 8 if smoke else 28
+    energy = models.KOBE(list(range(n)), 2)
+    e_inf = ebm.GibbsWithGradientsInference(
+        energy, 32, num_burnin_samples=4 if smoke else 32,
+        num_chains=8, max_unique_samples=4, initial_seed=5)
+    circuit = models.DirectQuantumCircuit(
+        circuit_utils.hardware_efficient_ansatz(n, 1))
+    q_inf = qnn.AnalyticQuantumInference(circuit)
+    h = qhbm.QHBM(e_inf, q_inf)
+    # Data: a fixed random QHBM at the same size (sampling-based source).
+    d_energy = models.BernoulliEnergy(list(range(n)),
+                                      nn.RandomNormal(0.0, 0.3, seed=11))
+    d_e_inf = ebm.BernoulliEnergyInference(d_energy, 32, initial_seed=6,
+                                           max_unique_samples=4)
+    d_circuit = models.DirectQuantumCircuit(
+        circuit_utils.hardware_efficient_ansatz(n, 1, name="data_p"))
+    d_q_inf = qnn.AnalyticQuantumInference(d_circuit)
+    data = data_module.QHBMData(qhbm.QHBM(d_e_inf, d_q_inf))
+    step, params, opt_state = _qmhl_step(data, h, opt)
+    ebm_state = (None, e_inf.chain_state)
+    return step, params, opt_state, ebm_state, {"n": n, "loss": "qmhl",
+                                                "ebm": "gwg"}
+
+  raise ValueError(f"unknown rung {name!r}")
+
+
+RUNGS = ("r1_tfim2_vqt", "r2_heis8_qmhl", "r3_kobe16_vqt_shift",
+         "r4_tfim24_sharded_vqt", "r5_gwg28_qmhl")

@@ -2,3 +2,4 @@
 
 from qhbmlib_tpu.data.qhbm_data import QHBMData
 from qhbmlib_tpu.data.quantum_data import QuantumData
+from qhbmlib_tpu.data.thermal_data import ThermalStateData

@@ -6,6 +6,10 @@ Public surface mirrors reference qhbmlib/inference/__init__.py:17-47.
 from qhbmlib_tpu.inference import ebm_utils
 from qhbmlib_tpu.inference import qhbm_utils
 from qhbmlib_tpu.inference import qnn_utils
+from qhbmlib_tpu.inference.ebm_utils import probabilities
+from qhbmlib_tpu.inference.qhbm_utils import density_matrix
+from qhbmlib_tpu.inference.qhbm_utils import fidelity
+from qhbmlib_tpu.inference.qnn_utils import unitary
 from qhbmlib_tpu.inference.ebm import AnalyticEnergyInference
 from qhbmlib_tpu.inference.ebm import BernoulliEnergyInference
 from qhbmlib_tpu.inference.ebm import EnergyInference
