@@ -54,6 +54,9 @@ def main():
       "sweep_filter", [],
       "key=value filters on sweep points (e.g. training.method=vanilla).")
   seed_flag = flags.DEFINE_integer("seed", 42, "Random seed for all jobs.")
+  retries_flag = flags.DEFINE_integer(
+      "retries", 0, "Automatic retries per failed job (the reference's "
+      "XManager jobs were fire-and-forget with no retry).")
 
   def run(argv):
     del argv
@@ -80,22 +83,30 @@ def main():
 
     running = []
     results = {}
-    queue = list(jobs)
+    attempts = {}
+    queue = [(d, c) for d, c in jobs]
     while queue or running:
       while queue and len(running) < parallel_flag.value:
         job_dir, cmd = queue.pop(0)
         os.makedirs(job_dir, exist_ok=True)
-        log = open(os.path.join(job_dir, "stdout.log"), "w")
+        attempt = attempts.get(job_dir, 0)
+        log = open(os.path.join(job_dir, f"stdout_attempt{attempt}.log"), "w")
         proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
-        running.append((job_dir, proc, log))
-        print(f"launched {job_dir} (pid {proc.pid})")
+        running.append((job_dir, cmd, proc, log))
+        print(f"launched {job_dir} (pid {proc.pid}, attempt {attempt})")
       still = []
-      for job_dir, proc, log in running:
+      for job_dir, cmd, proc, log in running:
         code = proc.poll()
         if code is None:
-          still.append((job_dir, proc, log))
+          still.append((job_dir, cmd, proc, log))
+          continue
+        log.close()
+        if code != 0 and attempts.get(job_dir, 0) < retries_flag.value:
+          attempts[job_dir] = attempts.get(job_dir, 0) + 1
+          print(f"retrying {job_dir} (exit {code}, "
+                f"attempt {attempts[job_dir]})")
+          queue.append((job_dir, cmd))
         else:
-          log.close()
           results[job_dir] = code
           print(f"finished {job_dir} (exit {code})")
       running = still

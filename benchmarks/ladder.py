@@ -83,14 +83,24 @@ def _qmhl_step(data, qhbm_obj, optimizer):
   return step, params, optimizer.init(params)
 
 
-def build_rung(name: str, smoke: bool = False):
+def build_rung(name: str, smoke: bool = False, qubits: int = None):
   """Returns (step_fn, params, opt_state, initial_ebm_state, meta).
 
   step_fn(params, opt_state, key, ebm_state) ->
       (loss, params, opt_state, ebm_state)
+
+  `qubits` overrides the rung's qubit count (e.g. r5 at its spec size of 28
+  qubits needs ~6-8 live 2GB statevectors -- beyond a 16GB v5e chip; run it
+  at 26 qubits single-chip, or at 28 on hardware with more HBM / an
+  amplitude-sharded mesh).
   """
   import optax
   opt = optax.adam(1e-2)
+
+  def size(default, smoke_size):
+    if qubits is not None:
+      return qubits
+    return smoke_size if smoke else default
 
   if name == "r1_tfim2_vqt":
     n = 2
@@ -104,7 +114,7 @@ def build_rung(name: str, smoke: bool = False):
     return step, params, opt_state, None, {"n": n, "loss": "vqt"}
 
   if name == "r2_heis8_qmhl":
-    n = 4 if smoke else 8
+    n = size(8, 4)
     from baselines import utils as baselines_utils
     target = _heisenberg(n)
     rho = baselines_utils.get_thermal_state(
@@ -120,7 +130,7 @@ def build_rung(name: str, smoke: bool = False):
     return step, params, opt_state, None, {"n": n, "loss": "qmhl"}
 
   if name == "r3_kobe16_vqt_shift":
-    n = 6 if smoke else 16
+    n = size(16, 6)
     shots = 100 if smoke else 1000
     energy = models.KOBE(list(range(n)), 2)
     e_inf = ebm.AnalyticEnergyInference(
@@ -135,7 +145,7 @@ def build_rung(name: str, smoke: bool = False):
                                            "grad": "parameter-shift"}
 
   if name == "r4_tfim24_sharded_vqt":
-    n = 8 if smoke else 24
+    n = size(24, 8)
     devices = jax.devices()
     state = 1
     while state * 2 <= len(devices):
@@ -154,7 +164,7 @@ def build_rung(name: str, smoke: bool = False):
                                            "state_shards": state}
 
   if name == "r5_gwg28_qmhl":
-    n = 8 if smoke else 28
+    n = size(28, 8)
     energy = models.KOBE(list(range(n)), 2)
     e_inf = ebm.GibbsWithGradientsInference(
         energy, 32, num_burnin_samples=4 if smoke else 32,

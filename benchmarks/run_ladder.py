@@ -17,9 +17,9 @@ import jax
 from benchmarks import ladder
 
 
-def run_rung(name: str, steps: int, smoke: bool) -> dict:
+def run_rung(name: str, steps: int, smoke: bool, qubits=None) -> dict:
   step_fn, params, opt_state, ebm_state, meta = ladder.build_rung(
-      name, smoke=smoke)
+      name, smoke=smoke, qubits=qubits)
   key = jax.random.PRNGKey(0)
   t0 = time.perf_counter()
   key, sub = jax.random.split(key)
@@ -49,12 +49,14 @@ def main():
   parser.add_argument("--rung", default=None, choices=ladder.RUNGS)
   parser.add_argument("--steps", type=int, default=3)
   parser.add_argument("--smoke", action="store_true")
+  parser.add_argument("--qubits", type=int, default=None,
+                      help="override the rung's qubit count")
   args = parser.parse_args()
 
   rungs = [args.rung] if args.rung else list(ladder.RUNGS)
   for name in rungs:
     try:
-      result = run_rung(name, args.steps, args.smoke)
+      result = run_rung(name, args.steps, args.smoke, args.qubits)
     except Exception as e:  # noqa: BLE001
       result = {"rung": name, "error": f"{type(e).__name__}: {e}"}
     print(json.dumps(result), flush=True)

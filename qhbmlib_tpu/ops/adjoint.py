@@ -59,14 +59,16 @@ def _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam):
   """
   w = jnp.imag(jnp.conj(lam) * a)
   # One (chunked) bilinear contraction evaluates every gate's mask reduction
-  # at once via the static rank-1 mask factors.
-  us, vs, owner = sv.diag_segment_factors(
-      seg_gates, [jnp.ones((), jnp.float32)] * len(seg_gates), a.shape)
-  per_factor = sv.factored_bilinear(us, vs, w)
+  # at once via the static parity-mask factors.
+  rr, cc = a.shape
+  n = sv.num_qubits_of(a)
+  mm = int(cc).bit_length() - 1
+  coeffs, rms, cms, owner = sv.diag_segment_triples(seg_gates, n - mm, mm)
+  per_factor = sv.parity_bilinear(rms, cms, w)
   for g_idx, gate in enumerate(seg_gates):
     if gate.slot >= 0:
-      dangle = -2.0 * sum(per_factor[k] for k in range(len(owner))
-                          if owner[k] == g_idx)
+      dangle = -2.0 * sum(coeffs[k] * per_factor[k]
+                          for k in range(len(owner)) if owner[k] == g_idx)
       grad_terms.append((gate.slot, gate.coeff * dangle))
   total = sv.diag_segment_phase(seg_gates, seg_angles, a.shape)
   phase = jnp.exp(-1j * total.astype(sv.COMPLEX_DTYPE))
@@ -180,6 +182,16 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
       minor_inv = emb if minor_inv is None else emb @ minor_inv
     else:
       major_invs.append((q, v_inv))
+  if a.size >= 2**24:
+    # Huge states: avoid the [2, R, C] stacked buffer (peak-memory bound);
+    # un-apply each state separately with the same packed matrices.
+    if major_invs:
+      a = sv.apply_major_1q_packed(major_invs, a)
+      lam = sv.apply_major_1q_packed(major_invs, lam)
+    if minor_inv is not None:
+      a = a @ minor_inv.T
+      lam = lam @ minor_inv.T
+    return a, lam
   # Un-apply a and lam together: stack into [2, R, C] so every pass serves
   # both states, with major-qubit inverses packed into 3-qubit kron blocks.
   pair = jnp.stack([a, lam])
@@ -189,6 +201,24 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
   if minor_inv is not None:
     pair = pair @ minor_inv.T
   return pair[0], pair[1]
+
+
+def _seq_barrier(a, lam, grad_terms, start):
+  """Ties the gradient scalars produced since `start` into the (a, lam)
+  dependency chain with an optimization barrier.  Without it XLA is free to
+  schedule ALL reverse-sweep states before ANY gradient reduction, keeping
+  every state of the chain live at once -- a >100GB HBM footprint at 28
+  qubits.  The barrier forces each segment's reductions to complete before
+  the sweep advances, so live memory stays O(state)."""
+  new = grad_terms[start:]
+  if not new:
+    a, lam = jax.lax.optimization_barrier((a, lam))
+    return a, lam
+  vals = jnp.stack([d for _, d in new])
+  a, lam, vals = jax.lax.optimization_barrier((a, lam, vals))
+  for i, (slot, _) in enumerate(new):
+    grad_terms[start + i] = (slot, vals[i])
+  return a, lam
 
 
 def _bwd(circuit, res, g):
@@ -209,6 +239,7 @@ def _bwd(circuit, res, g):
   for cls, idxs in reversed(sv.segment_circuit(gates)):
     seg_gates = [gates[i] for i in idxs]
     seg_angles = [angles[i] for i in idxs]
+    seg_start = len(grad_terms)
     if cls == "diag" and len(idxs) > 1:
       a, lam = _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam)
     elif cls == "1q":
@@ -222,6 +253,7 @@ def _bwd(circuit, res, g):
               jnp.sum(jnp.conj(lam.reshape(-1)) * d_psi.reshape(-1)))
           grad_terms.append((gate.slot, gate.coeff * dangle))
         lam = _apply_inverse(gate, angle, lam)
+    a, lam = _seq_barrier(a, lam, grad_terms, seg_start)
   if grad_terms:
     slots = jnp.asarray([s for s, _ in grad_terms], jnp.int32)
     contribs = jnp.stack([d for _, d in grad_terms])
@@ -285,6 +317,95 @@ def expectation(circuit: ir.Circuit,
   return jnp.sum(terms * jnp.real(op.coeffs))
 
 
+class _HashableOp:
+  """Static (codes, num_qubits) structure of a PauliSum, usable as a
+  nondiff custom_vjp argument; coefficients are applied OUTSIDE the
+  primitive so their gradients flow through plain autodiff."""
+
+  def __init__(self, op: paulis.PauliSum):
+    self.codes = op.codes
+    self.num_qubits = op.num_qubits
+
+  def ones(self) -> paulis.PauliSum:
+    return paulis.PauliSum(self.codes,
+                           jnp.ones([len(self.codes)], jnp.float32),
+                           self.num_qubits)
+
+  def __hash__(self):
+    return hash((self.codes, self.num_qubits))
+
+  def __eq__(self, other):
+    return (isinstance(other, _HashableOp) and self.codes == other.codes and
+            self.num_qubits == other.num_qubits)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _batched_terms(circuit: ir.Circuit, hop: _HashableOp, batch_chunk: int,
+                   symbol_values: jnp.ndarray,
+                   init_bits: jnp.ndarray) -> jnp.ndarray:
+  """[B, T] coefficient-free per-term expectations over a bitstring batch.
+
+  The custom VJP operates at the BATCH level: the backward pass is a plain
+  forward `lax.scan` over chunks running the explicit adjoint sweep --
+  differentiating through a `lax.map` instead would produce a transposed
+  scan whose buffer reuse XLA loses at high qubit counts (observed 75 live
+  2GB states at 28 qubits).
+  """
+  out, _ = _bt_fwd(circuit, hop, batch_chunk, symbol_values, init_bits)
+  return out
+
+
+def _chunked(bits: jnp.ndarray, chunk: int):
+  batch, n = bits.shape
+  pad = (-batch) % chunk
+  if pad:
+    bits = jnp.concatenate([bits, jnp.zeros([pad, n], bits.dtype)], axis=0)
+  return bits.reshape(-1, chunk, n), pad
+
+
+def _bt_fwd(circuit, hop, batch_chunk, symbol_values, init_bits):
+  op = hop.ones()
+  n = circuit.num_qubits
+
+  def one(bits):
+    psi = sv.apply_circuit(circuit, symbol_values, sv.basis_state(n, bits))
+    return sv.expectation_terms(psi, op)
+
+  batch = init_bits.shape[0]
+  chunks, _ = _chunked(init_bits, batch_chunk)
+  out = jax.lax.map(jax.vmap(one), chunks)
+  out = out.reshape(-1, op.num_terms)[:batch]
+  return out, (symbol_values, init_bits)
+
+
+def _bt_bwd(circuit, hop, batch_chunk, res, g):
+  symbol_values, init_bits = res
+  op = hop.ones()
+  n = circuit.num_qubits
+  batch = init_bits.shape[0]
+  chunks, pad = _chunked(init_bits, batch_chunk)
+  g_pad = jnp.concatenate(
+      [g, jnp.zeros([pad, g.shape[1]], g.dtype)], axis=0) if pad else g
+  g_chunks = g_pad.reshape(-1, batch_chunk, g.shape[1])
+
+  def one(bits, gg):
+    psi = sv.apply_circuit(circuit, symbol_values, sv.basis_state(n, bits))
+    grad, _, _ = _bwd(circuit, (symbol_values, psi, op), gg)
+    return grad
+
+  def body(acc, xs):
+    bits_c, g_c = xs
+    grads = jax.vmap(one)(bits_c, g_c)  # [chunk, num_symbols]
+    return acc + jnp.sum(grads, axis=0), None
+
+  total, _ = jax.lax.scan(body, jnp.zeros_like(symbol_values),
+                          (chunks, g_chunks))
+  return total, None
+
+
+_batched_terms.defvjp(_bt_fwd, _bt_bwd)
+
+
 def batched_expectations(circuit: ir.Circuit,
                          symbol_values: jnp.ndarray,
                          init_bits: jnp.ndarray,
@@ -324,21 +445,12 @@ def batched_expectations(circuit: ir.Circuit,
     slices.append((start, start + op.num_terms))
     start += op.num_terms
 
-  def one(bits):
-    terms = _term_expectations_from_bits(circuit, symbol_values, bits, big)
-    weighted = terms * jnp.real(all_coeffs)
-    return jnp.stack([jnp.sum(weighted[a:b]) for a, b in slices])
-
   batch = init_bits.shape[0]
   if batch_chunk is None:
     state_bytes = 8 * (2**n)
-    batch_chunk = max(1, (128 << 20) // state_bytes)
-  if batch_chunk >= batch:
-    return jax.vmap(one)(init_bits)
-  pad = (-batch) % batch_chunk
-  padded = jnp.concatenate(
-      [init_bits, jnp.zeros([pad, init_bits.shape[1]], init_bits.dtype)],
-      axis=0) if pad else init_bits
-  chunked = padded.reshape(-1, batch_chunk, init_bits.shape[1])
-  out = jax.lax.map(jax.vmap(one), chunked)
-  return out.reshape(-1, len(ops))[:batch]
+    batch_chunk = max(1, min(batch, (128 << 20) // state_bytes))
+  terms = _batched_terms(circuit, _HashableOp(big), batch_chunk,
+                         symbol_values, init_bits)  # [B, T]
+  weighted = terms * jnp.real(all_coeffs)[None, :]
+  return jnp.stack(
+      [jnp.sum(weighted[:, a:b], axis=1) for a, b in slices], axis=1)

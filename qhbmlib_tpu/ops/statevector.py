@@ -396,12 +396,10 @@ def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
   diag_idx = [t for t in range(op.num_terms) if _is_diag_codes(op.codes[t])]
   out = jnp.zeros_like(state)
   if diag_idx:
-    us, vs = [], []
-    for t in diag_idx:
-      u, v = pauli_z_rank1(op.codes[t], nr, m, r)
-      us.append(u.astype(COMPLEX_DTYPE) * weight(t))
-      vs.append(jnp.asarray(v, COMPLEX_DTYPE))
-    d = factored_outer_sum(us, vs)  # [R, C]
+    masks = [pauli_z_masks(op.codes[t], nr, m) for t in diag_idx]
+    d = parity_outer_sum([weight(t) for t in diag_idx],
+                         [rm for rm, _ in masks],
+                         [cm for _, cm in masks], state.shape)  # [R, C]
     out = out + d * state
   for t in range(op.num_terms):
     if t in diag_idx:
@@ -493,114 +491,134 @@ def segment_circuit(gates: Tuple[ir.Gate, ...]):
   return tuple(segments)
 
 
-def bit_vec_r(q: int, nr: int, r: int) -> jnp.ndarray:
-  """[R] float bit values of major qubit q over the row index."""
-  rows = jax.lax.broadcasted_iota(jnp.int32, (r,), 0)
-  return (((rows >> (nr - 1 - q)) & 1)).astype(jnp.float32)
+def _row_mask(q: int, nr: int) -> int:
+  return 1 << (nr - 1 - q)
 
 
-def bit_vec_c(q: int, nr: int, m: int) -> np.ndarray:
-  """[C] static float bit values of minor qubit q over the column index."""
-  return (((np.arange(2**m) >> (m - 1 - (q - nr))) & 1)).astype(np.float32)
+def _col_mask(q: int, nr: int, m: int) -> int:
+  return 1 << (m - 1 - (q - nr))
 
 
-def diag_rank1(gate: ir.Gate, nr: int, m: int, r: int):
-  """Rank-1 decomposition of d(phase angle)/d(resolved angle) over the
-  [R, C] index space: returns [(u [R], v [C]), ...] with
-  m(x) = sum_k u_k(row) * v_k(col).  Every diagonal gate kind decomposes
-  into at most 3 rank-1 components, which lets whole segments of diagonal
-  work (phases, expectations, gradients) collapse into single matmuls."""
-  c = 2**m
-  ones_r = jnp.ones((r,), jnp.float32)
-  ones_c = np.ones((c,), np.float32)
+def diag_parity_triples(gate: ir.Gate, nr: int, m: int):
+  """Walsh (parity-sign) decomposition of d(phase angle)/d(resolved angle)
+  for a diagonal gate: returns [(coeff, row_mask, col_mask), ...] with
+  m(x) = sum_k coeff_k * s(row & row_mask_k) * s(col & col_mask_k), where
+  s(y) = (-1)^popcount(y).  Masks are STATIC integers -- sign matrices are
+  expanded chunk-wise from one shared iota, so no per-factor state-length
+  vector is ever materialized (crucial at high qubit counts, where a single
+  [R] vector is megabytes and circuits/observables carry hundreds of
+  diagonal terms)."""
 
-  def bfac(q):
-    if q < nr:
-      return bit_vec_r(q, nr, r), ones_c
-    return ones_r, bit_vec_c(q, nr, m)
+  def bit_triples(q, scale):
+    # b = (1 - s(mask))/2
+    rm = _row_mask(q, nr) if q < nr else 0
+    cm = _col_mask(q, nr, m) if q >= nr else 0
+    return [(scale * 0.5, 0, 0), (-scale * 0.5, rm, cm)]
+
+  def pair_triples(q0, q1, scale):
+    # b0*b1 = (1 - s0 - s1 + s01)/4
+    rm0 = _row_mask(q0, nr) if q0 < nr else 0
+    cm0 = _col_mask(q0, nr, m) if q0 >= nr else 0
+    rm1 = _row_mask(q1, nr) if q1 < nr else 0
+    cm1 = _col_mask(q1, nr, m) if q1 >= nr else 0
+    s = scale * 0.25
+    return [(s, 0, 0), (-s, rm0, cm0), (-s, rm1, cm1),
+            (s, rm0 | rm1, cm0 | cm1)]
 
   if gate.kind == ir.ZP:
-    u, v = bfac(gate.qubits[0])
-    return [(np.pi * u, v)]
+    return bit_triples(gate.qubits[0], np.pi)
   if gate.kind == ir.RZ:
-    u, v = bfac(gate.qubits[0])
-    return [(u, v), (-0.5 * ones_r, ones_c)]
+    t = bit_triples(gate.qubits[0], 1.0)
+    return [(t[0][0] - 0.5, 0, 0)] + t[1:]
   if gate.kind == ir.CZP:
-    u0, v0 = bfac(gate.qubits[0])
-    u1, v1 = bfac(gate.qubits[1])
-    return [(np.pi * u0 * u1, v0 * v1)]
+    return pair_triples(gate.qubits[0], gate.qubits[1], np.pi)
   if gate.kind == ir.ZZP:
-    u0, v0 = bfac(gate.qubits[0])
-    u1, v1 = bfac(gate.qubits[1])
-    # xor = b0 + b1 - 2 b0 b1
-    return [(np.pi * u0, v0), (np.pi * u1, v1),
-            (-2.0 * np.pi * u0 * u1, v0 * v1)]
+    # pi * xor = pi * (1 - s01)/2
+    q0, q1 = gate.qubits
+    rm = (_row_mask(q0, nr) if q0 < nr else 0) | (
+        _row_mask(q1, nr) if q1 < nr else 0)
+    cm = (_col_mask(q0, nr, m) if q0 >= nr else 0) | (
+        _col_mask(q1, nr, m) if q1 >= nr else 0)
+    return [(np.pi / 2, 0, 0), (-np.pi / 2, rm, cm)]
   if gate.kind == ir.GPHASE:
-    return [(ones_r, ones_c)]
-  # PROT all-Z: -(1-2*parity) = -prod_q (1-2 b_q), which splits into a
-  # row-parity sign times a column-parity sign.
-  sr = ones_r
-  sc = ones_c
+    return [(1.0, 0, 0)]
+  # PROT all-Z: -(1-2*parity) = -s(full mask)
+  rm, cm = 0, 0
   for q in gate.qubits:
     if q < nr:
-      sr = sr * (1.0 - 2.0 * bit_vec_r(q, nr, r))
+      rm |= _row_mask(q, nr)
     else:
-      sc = sc * (1.0 - 2.0 * bit_vec_c(q, nr, m))
-  return [(-sr, sc)]
+      cm |= _col_mask(q, nr, m)
+  return [(-1.0, rm, cm)]
 
 
-def pauli_z_rank1(codes, nr: int, m: int, r: int):
-  """(u [R], v [C]) sign factors of a purely-diagonal (I/Z) Pauli string:
-  s(x) = u(row) * v(col)."""
-  sr = jnp.ones((r,), jnp.float32)
-  sc = np.ones((2**m,), np.float32)
+def pauli_z_masks(codes, nr: int, m: int):
+  """(row_mask, col_mask) of a purely-diagonal (I/Z) Pauli string:
+  s(x) = s(row & row_mask) * s(col & col_mask)."""
+  rm, cm = 0, 0
   for q, code in enumerate(codes):
     if code == paulis.Z:
       if q < nr:
-        sr = sr * (1.0 - 2.0 * bit_vec_r(q, nr, r))
+        rm |= _row_mask(q, nr)
       else:
-        sc = sc * (1.0 - 2.0 * bit_vec_c(q, nr, m))
-  return sr, sc
+        cm |= _col_mask(q, nr, m)
+  return rm, cm
 
 
-def diag_mask(gate: ir.Gate, bit) -> jnp.ndarray:
-  """m(x) = d(phase angle at basis state x)/d(resolved gate angle) for a
-  diagonal gate; the gate's phase is exp(i * angle * m(x)).  `bit(q)` returns
-  the broadcastable float bit value of qubit q."""
-  if gate.kind == ir.ZP:
-    return np.pi * bit(gate.qubits[0])
-  if gate.kind == ir.RZ:
-    return bit(gate.qubits[0]) - 0.5
-  if gate.kind == ir.CZP:
-    return np.pi * bit(gate.qubits[0]) * bit(gate.qubits[1])
-  if gate.kind == ir.ZZP:
-    b0, b1 = bit(gate.qubits[0]), bit(gate.qubits[1])
-    return np.pi * (b0 + b1 - 2.0 * b0 * b1)  # xor
-  if gate.kind == ir.GPHASE:
-    return jnp.ones((), jnp.float32)
-  # PROT, all-Z string: exp(-i*a*prod Z) -> angle = -a*(1-2*parity)
-  par = jnp.zeros((), jnp.float32)
-  for q in gate.qubits:
-    b = bit(q)
-    par = par + b - 2.0 * par * b  # xor accumulate
-  return -(1.0 - 2.0 * par)
+# Cap on transient [K_chunk, R] sign matrices built from parity masks.
+_FACTOR_CHUNK_BYTES = 128 << 20
 
 
-def make_bit_fn(state_shape_rc):
-  """Returns bit(q) -> broadcastable float32 bit value over an [R, C] state."""
-  r, c = state_shape_rc
-  n = (int(r) * int(c)).bit_length() - 1
-  m = int(c).bit_length() - 1
-  nr = n - m
-  rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+def _sign_rows(masks, r: int) -> jnp.ndarray:
+  """[K, R] parity signs from static row masks and one shared iota."""
+  rows = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+  par = jax.lax.population_count(
+      jnp.bitwise_and(rows, jnp.asarray(masks, jnp.int32)[:, None])) & 1
+  return (1.0 - 2.0 * par).astype(jnp.float32)
 
-  def bit(q):
-    if q < nr:
-      return (((rows >> (nr - 1 - q)) & 1)).astype(jnp.float32)
-    vec = ((np.arange(c) >> (m - 1 - (q - nr))) & 1).astype(np.float32)
-    return jnp.asarray(vec)[None, :]
 
-  return bit
+def _sign_cols(masks, c: int) -> np.ndarray:
+  """[K, C] static parity signs from column masks."""
+  cols = np.arange(c)[None, :]
+  par = np.zeros((len(masks), c), np.int64)
+  vals = cols & np.asarray(masks, np.int64)[:, None]
+  while np.any(vals):
+    par += vals & 1
+    vals >>= 1
+  return (1.0 - 2.0 * (par & 1)).astype(np.float32)
+
+
+def parity_outer_sum(coeffs, row_masks, col_masks, shape_rc) -> jnp.ndarray:
+  """sum_k coeffs_k * s(row & rm_k) (x) s(col & cm_k) as chunked matmuls.
+
+  `coeffs` entries may be traced scalars (gate angles) or complex weights.
+  """
+  r, c = shape_rc
+  ck = max(1, _FACTOR_CHUNK_BYTES // (8 * int(r)))
+  total = None
+  for i in range(0, len(coeffs), ck):
+    s_r = _sign_rows(row_masks[i:i + ck], r)
+    s_c = jnp.asarray(_sign_cols(col_masks[i:i + ck], c))
+    w = jnp.stack([jnp.asarray(x) for x in coeffs[i:i + ck]])
+    if jnp.iscomplexobj(w):
+      s_r = s_r.astype(w.dtype)
+      s_c = s_c.astype(w.dtype)
+    part = (s_r * w[:, None]).T @ s_c
+    total = part if total is None else total + part
+  return total
+
+
+def parity_bilinear(row_masks, col_masks, p: jnp.ndarray) -> jnp.ndarray:
+  """[K] vector of s_r_k^T P s_c_k, chunked over factors."""
+  r, c = p.shape
+  ck = max(1, _FACTOR_CHUNK_BYTES // (8 * int(r)))
+  outs = []
+  for i in range(0, len(row_masks), ck):
+    s_r = _sign_rows(row_masks[i:i + ck], r)
+    s_c = jnp.asarray(_sign_cols(col_masks[i:i + ck], c))
+    w = p @ s_c.T  # [R, Kc]
+    outs.append(jnp.einsum("kr,rk->k", s_r, w))
+  return jnp.concatenate(outs)
 
 
 def apply_major_1q_packed(major_mats, state: jnp.ndarray) -> jnp.ndarray:
@@ -650,62 +668,29 @@ def _apply_1q_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
   return state
 
 
-# Cap on the transient [K_chunk, R] factor matrices: keeps the rank-1
-# machinery memory-bounded when R is huge (28 qubits -> R = 2^21) or the
-# term count is large (KOBE shards -> hundreds of diagonal Pauli strings).
-_FACTOR_CHUNK_BYTES = 128 << 20
-
-
-def _factor_chunk_len(us) -> int:
-  r = int(us[0].shape[0])
-  return max(1, _FACTOR_CHUNK_BYTES // (8 * r))
-
-
-def factored_outer_sum(us, vs) -> jnp.ndarray:
-  """sum_k outer(u_k, v_k) as chunked [R, Kc] x [Kc, C] matmuls."""
-  total = None
-  ck = _factor_chunk_len(us)
-  for i in range(0, len(us), ck):
-    u_mat = jnp.stack(us[i:i + ck])
-    v_mat = jnp.stack([jnp.asarray(v) for v in vs[i:i + ck]])
-    part = u_mat.T @ v_mat
-    total = part if total is None else total + part
-  return total
-
-
-def factored_bilinear(us, vs, p: jnp.ndarray) -> jnp.ndarray:
-  """[K] vector of u_k^T P v_k, chunked so no [K, R] matrix materializes."""
-  outs = []
-  ck = _factor_chunk_len(us)
-  for i in range(0, len(us), ck):
-    u_mat = jnp.stack(us[i:i + ck])
-    v_mat = jnp.stack([jnp.asarray(v) for v in vs[i:i + ck]])
-    w = p @ v_mat.T  # [R, Kc]
-    outs.append(jnp.einsum("kr,rk->k", u_mat, w))
-  return jnp.concatenate(outs)
-
-
-def diag_segment_factors(gates, angles, state_shape_rc):
-  """Rank-1 factors of a diagonal segment: (us, vs, owner) lists with total
-  phase = sum_k angle_{owner[k]} us[k](r) vs[k](c)."""
-  r, c = state_shape_rc
-  n = (int(r) * int(c)).bit_length() - 1
-  m = int(c).bit_length() - 1
-  nr = n - m
-  us, vs, owner = [], [], []
+def diag_segment_triples(gates, nr: int, m: int):
+  """Concatenated parity triples of a diagonal segment with gate ownership:
+  (coeffs, row_masks, col_masks, owner)."""
+  coeffs, rms, cms, owner = [], [], [], []
   for g_idx, gate in enumerate(gates):
-    for u, v in diag_rank1(gate, nr, m, r):
-      us.append(u * jnp.asarray(angles[g_idx], jnp.float32))
-      vs.append(jnp.asarray(v))
+    for coeff, rm, cm in diag_parity_triples(gate, nr, m):
+      coeffs.append(coeff)
+      rms.append(rm)
+      cms.append(cm)
       owner.append(g_idx)
-  return us, vs, owner
+  return coeffs, rms, cms, owner
 
 
 def diag_segment_phase(gates, angles, state_shape_rc) -> jnp.ndarray:
   """Total phase angle array [R, C] of a run of diagonal gates, built from
-  chunked matmuls over the rank-1 mask factors."""
-  us, vs, _ = diag_segment_factors(gates, angles, state_shape_rc)
-  return factored_outer_sum(us, vs)
+  chunked parity-sign matmuls."""
+  r, c = state_shape_rc
+  n = (int(r) * int(c)).bit_length() - 1
+  m = int(c).bit_length() - 1
+  coeffs, rms, cms, owner = diag_segment_triples(gates, n - m, m)
+  weighted = [coeffs[k] * jnp.asarray(angles[owner[k]], jnp.float32)
+              for k in range(len(coeffs))]
+  return parity_outer_sum(weighted, rms, cms, state_shape_rc)
 
 
 def _apply_diag_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
@@ -739,6 +724,10 @@ def apply_circuit(circuit: ir.Circuit,
     return state
 
   gates = circuit.gates
+  # For large states, pin the schedule to the segment chain: XLA's list
+  # scheduler loses buffer reuse on long unrolled chains of multi-GB buffers
+  # (observed 75 live states at 28 qubits without barriers).
+  big = int(state.shape[-2]) * int(state.shape[-1]) >= 2**24
   for cls, idxs in segment_circuit(gates):
     seg_gates = [gates[i] for i in idxs]
     seg_angles = [angles[i] for i in idxs]
@@ -749,6 +738,8 @@ def apply_circuit(circuit: ir.Circuit,
     else:
       for gate, angle in zip(seg_gates, seg_angles):
         state = apply_gate(gate, angle, state)
+    if big:
+      state = jax.lax.optimization_barrier(state)
   return state
 
 
@@ -773,9 +764,9 @@ def expectation_terms(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
   diag_vals = None
   if diag_idx:
     prob = jnp.real(conj * state)  # |psi|^2 as [R, C]
-    factors = [pauli_z_rank1(op.codes[t], nr, m, r) for t in diag_idx]
-    diag_vals = factored_bilinear([u for u, _ in factors],
-                                  [v for _, v in factors], prob)
+    masks = [pauli_z_masks(op.codes[t], nr, m) for t in diag_idx]
+    diag_vals = parity_bilinear([rm for rm, _ in masks],
+                                [cm for _, cm in masks], prob)
   vals = []
   k = 0
   for t in range(op.num_terms):

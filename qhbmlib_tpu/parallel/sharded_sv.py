@@ -26,6 +26,7 @@ device) mirroring ops/adjoint.py.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Sequence, Tuple
 
@@ -210,14 +211,10 @@ def apply_gate_dangle_local(gate: ir.Gate, angle, local: jnp.ndarray, k: int,
   return _apply_dense_routed(dmat, gate.qubits, local, k, axis_name)
 
 
-import dataclasses as _dataclasses
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
 def _shift_gate(gate: ir.Gate, k: int) -> ir.Gate:
-  return _dataclasses.replace(gate,
-                              qubits=tuple(q - k for q in gate.qubits))
+  return dataclasses.replace(gate,
+                             qubits=tuple(q - k for q in gate.qubits))
 
 
 def _segment_is_local(gates, idxs, k) -> bool:
@@ -317,6 +314,7 @@ def _term_expectations_bwd_local(circuit, values, bits, big_op, g, k,
   angles = [sv.resolve_angle(gate, values) for gate in gates]
   for cls, idxs in reversed(sv.segment_circuit(gates)):
     seg_angles = [angles[i] for i in idxs]
+    seg_start = len(grad_terms)
     if _segment_is_local(gates, idxs, k) and cls in ("1q", "diag"):
       seg_gates = [_shift_gate(gates[i], k) for i in idxs]
       if cls == "diag":
@@ -335,6 +333,7 @@ def _term_expectations_bwd_local(circuit, values, bits, big_op, g, k,
               jnp.sum(jnp.conj(lam.reshape(-1)) * d_psi.reshape(-1)))
           grad_terms.append((gate.slot, gate.coeff * dangle))
         lam = _apply_inverse_local(gate, angle, lam, k, axis_name)
+    a, lam = dense_adjoint._seq_barrier(a, lam, grad_terms, seg_start)
   if not grad_terms:
     return jnp.zeros_like(values)
   # Local-segment contributions are per-device partial sums; one psum of the
