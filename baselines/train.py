@@ -146,19 +146,19 @@ def compute_data_point_metrics(beta=None,
                                prev_target_density_matrix=None,
                                channel_matrix=None):
   """Exact target state + entropy (+ logZ for thermal points); reference
-  train.py:92-107."""
+  train.py:92-107.  Pure host numpy (metrics-only)."""
   if beta is not None and target_hamiltonian_matrix is not None:
-    target_dm = baselines_utils.get_thermal_state(beta,
-                                                  target_hamiltonian_matrix)
-    target_log_z = baselines_utils.log_partition_function(
-        beta, target_hamiltonian_matrix)
+    target_dm = np.asarray(
+        baselines_utils.get_thermal_state(beta, target_hamiltonian_matrix),
+        np.complex128)
+    target_log_z = float(baselines_utils.log_partition_function(
+        beta, target_hamiltonian_matrix))
   else:
-    target_dm = (channel_matrix @ prev_target_density_matrix
-                 @ jnp.conj(channel_matrix.T))
+    channel = np.asarray(channel_matrix, np.complex128)
+    target_dm = channel @ prev_target_density_matrix @ np.conj(channel.T)
     target_log_z = None
-  evals = jnp.real(jnp.linalg.eigvalsh(target_dm))
-  evals = jnp.maximum(evals, 0.0)
-  target_entropy = -jnp.sum(jnp.where(evals > 0, evals * jnp.log(evals), 0.0))
+  evals = np.maximum(np.real(np.linalg.eigvalsh(target_dm)), 0.0)
+  target_entropy = -np.sum(np.where(evals > 0, evals * np.log(evals), 0.0))
   if target_log_z is None:
     return target_dm, target_entropy
   return target_dm, target_entropy, target_log_z
@@ -528,9 +528,7 @@ def train_model(qhbm_obj: qhbm.QHBM,
     if step % log.expensive_downsample == 0 or step == num_steps - 1:
       qhbm_obj.set_params(params)
       if log.fidelity:
-        fid = qhbm_utils.fidelity(modular_hamiltonian,
-                                  jnp.asarray(target_density_matrix,
-                                              jnp.complex64))
+        fid = qhbm_utils.fidelity(modular_hamiltonian, target_density_matrix)
         metrics_writer.scalar("fidelity", fid, step)
       if log.relative_entropy:
         dm = qhbm_utils.density_matrix(modular_hamiltonian)
@@ -571,7 +569,9 @@ def run_experiment(config, output_dir: str, seed: int = 42):
   target_hamiltonian = paulis.PauliSum(
       x_h.codes + z_h.codes, jnp.concatenate([x_h.coeffs, z_h.coeffs]),
       x_h.num_qubits)
-  target_matrix = jnp.asarray(target_hamiltonian.dense(), jnp.complex128)
+  # Host numpy: the exact dense target math is metrics-only, and complex
+  # host<->device transfers are unavailable on some backends.
+  target_matrix = np.asarray(target_hamiltonian.dense(), np.complex128)
 
   if config.training.loss == "vqt":
     betas = np.linspace(config.dataset.beta_min, config.dataset.beta_max,
@@ -616,8 +616,7 @@ def run_experiment(config, output_dir: str, seed: int = 42):
         evolution_time = round(
             sequence_step * config.dataset.total_time /
             config.dataset.time_steps, config.dataset.digits)
-        unitary_matrix = jnp.asarray(
-            _circuit_matrix(iterates[sequence_step]), jnp.complex128)
+        unitary_matrix = _circuit_matrix(iterates[sequence_step])
         target_dm, target_entropy = compute_data_point_metrics(
             prev_target_density_matrix=target_dm,
             channel_matrix=unitary_matrix)
@@ -703,9 +702,10 @@ def run_experiment(config, output_dir: str, seed: int = 42):
 
 
 def _circuit_matrix(circuit: ir.Circuit) -> np.ndarray:
+  from qhbmlib_tpu import utils
   from qhbmlib_tpu.ops import statevector as sv
-  return np.asarray(sv.unitary(circuit, jnp.zeros([circuit.num_symbols],
-                                                  jnp.float32)))
+  return utils.to_host_complex(
+      sv.unitary(circuit, jnp.zeros([circuit.num_symbols], jnp.float32)))
 
 
 def main(argv=None):

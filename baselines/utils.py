@@ -21,19 +21,29 @@ def _fdtype():
   return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _eigh_host(mat):
+  """Hermitian eigendecomposition on the HOST (numpy).
+
+  These exact dense-matrix metrics are never differentiated and the
+  matrices are tiny (2^n x 2^n for small n); running eigh on host also
+  sidesteps accelerator backends without an eigh kernel (e.g. the axon TPU
+  tunnel reports UNIMPLEMENTED).
+  """
+  return np.linalg.eigh(np.asarray(mat, np.complex128))
+
+
 def _logm_psd(mat: jnp.ndarray) -> jnp.ndarray:
   """Matrix log of a Hermitian PSD matrix via eigh (clipped for stability)."""
-  mat = jnp.asarray(mat, _cdtype())
-  evals, evecs = jnp.linalg.eigh(mat)
-  log_evals = jnp.log(jnp.maximum(jnp.real(evals), 1e-300))
-  return (evecs * log_evals.astype(_cdtype())) @ jnp.conj(evecs.T)
+  evals, evecs = _eigh_host(mat)
+  log_evals = np.log(np.maximum(np.real(evals), 1e-300))
+  return (evecs * log_evals.astype(np.complex128)) @ np.conj(evecs.T)
 
 
 def optimized_trace_matmul(rho, sigma):
   """tr[rho @ sigma] without materializing the product (reference
-  baselines/utils.py:24-38)."""
-  return jnp.sum(
-      jnp.asarray(rho, _cdtype()) * jnp.asarray(sigma, _cdtype()).T)
+  baselines/utils.py:24-38).  Host numpy (metrics-only)."""
+  return np.sum(np.asarray(rho, np.complex128) *
+                np.asarray(sigma, np.complex128).T)
 
 
 def relative_entropy(rho, sigma):
@@ -41,27 +51,25 @@ def relative_entropy(rho, sigma):
   baselines/utils.py:41-58)."""
   log_rho = _logm_psd(rho)
   log_sigma = _logm_psd(sigma)
-  return jnp.real(optimized_trace_matmul(rho, log_rho - log_sigma))
+  return float(np.real(optimized_trace_matmul(rho, log_rho - log_sigma)))
 
 
 def get_thermal_state(beta, h_num):
   """exp(-beta h)/Z via eigh + softmax (the LSE-gradient trick of reference
   baselines/utils.py:61-115 is exactly a softmax over -beta*eigenvalues)."""
-  h_num = jnp.asarray(h_num, _cdtype())
-  evals, evecs = jnp.linalg.eigh(h_num)
-  weights = jnp.exp(
-      jnp.asarray(-beta, _fdtype()) * jnp.real(evals) -
-      jnp.max(jnp.asarray(-beta, _fdtype()) * jnp.real(evals)))
-  probs = (weights / jnp.sum(weights)).astype(_cdtype())
-  return (evecs * probs) @ jnp.conj(evecs.T)
+  evals, evecs = _eigh_host(h_num)
+  x = -float(beta) * np.real(evals)
+  weights = np.exp(x - np.max(x))
+  probs = (weights / np.sum(weights)).astype(np.complex128)
+  return (evecs * probs) @ np.conj(evecs.T)
 
 
 def log_partition_function(beta, h_num):
   """ln tr[exp(-beta h)] (reference baselines/utils.py:118-134)."""
-  evals = jnp.linalg.eigvalsh(jnp.asarray(h_num, _cdtype()))
-  x = jnp.asarray(-beta, _fdtype()) * jnp.real(evals)
-  m = jnp.max(x)
-  return m + jnp.log(jnp.sum(jnp.exp(x - m)))
+  evals, _ = _eigh_host(h_num)
+  x = -float(beta) * np.real(evals)
+  m = np.max(x)
+  return float(m + np.log(np.sum(np.exp(x - m))))
 
 
 def density_matrix_to_image(dm) -> np.ndarray:

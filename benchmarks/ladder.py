@@ -117,8 +117,7 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None):
     n = size(8, 4)
     from baselines import utils as baselines_utils
     target = _heisenberg(n)
-    rho = baselines_utils.get_thermal_state(
-        1.0, jnp.asarray(target.dense()))
+    rho = baselines_utils.get_thermal_state(1.0, target.dense())
     data = data_module.ThermalStateData(rho)
     energy = models.KOBE(list(range(n)), 2)
     e_inf = ebm.AnalyticEnergyInference(energy, 500, initial_seed=2)

@@ -24,15 +24,25 @@ from qhbmlib_tpu.ops import statevector as sv
 class ThermalStateData(quantum_data.QuantumData):
   """QuantumData serving exact expectations against a fixed density matrix."""
 
-  def __init__(self, density_matrix: jnp.ndarray):
-    self._rho = jnp.asarray(density_matrix, jnp.complex64)
-    n = int(self._rho.shape[0]).bit_length() - 1
+  def __init__(self, density_matrix):
+    import numpy as np
+    # Stored as separate float32 real/imag parts: some accelerator backends
+    # cannot transfer complex host arrays; the complex matrix is rebuilt
+    # under trace (device-side) where complex arithmetic works fine.
+    rho = np.asarray(density_matrix, np.complex128)
+    self._rho_re = jnp.asarray(np.real(rho), jnp.float32)
+    self._rho_im = jnp.asarray(np.imag(rho), jnp.float32)
+    n = int(rho.shape[0]).bit_length() - 1
     self._num_qubits = n
     self._all_bits = jnp.asarray(sv.all_bitstrings(n))
 
   @property
   def num_qubits(self) -> int:
     return self._num_qubits
+
+  @property
+  def _rho(self) -> jnp.ndarray:
+    return (self._rho_re + 1j * self._rho_im).astype(jnp.complex64)
 
   @property
   def density_matrix(self) -> jnp.ndarray:

@@ -6,33 +6,47 @@ Mirrors reference qhbmlib/inference/qhbm_utils.py:24-116 with jnp linalg
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qhbmlib_tpu.inference import ebm_utils
 from qhbmlib_tpu.inference import qnn_utils
 from qhbmlib_tpu.models import hamiltonian as hamiltonian_model
 
 
-def density_matrix(model: hamiltonian_model.Hamiltonian) -> jnp.ndarray:
+def density_matrix(model: hamiltonian_model.Hamiltonian) -> np.ndarray:
   r"""Thermal state rho = U_phi P_theta U_phi^dagger of a modular
-  Hamiltonian (reference qhbm_utils.py:24-59)."""
+  Hamiltonian (reference qhbm_utils.py:24-59).  Returned on HOST (numpy):
+  it feeds host-side metrics, and complex device arrays cannot always be
+  transferred wholesale."""
+  from qhbmlib_tpu import utils
   probs = ebm_utils.probabilities(model.energy).astype(jnp.complex64)
   u = qnn_utils.unitary(model.circuit)
-  return jnp.einsum("k,ik,jk->ij", probs, u, jnp.conj(u))
+  rho = jnp.einsum("k,ik,jk->ij", probs, u, jnp.conj(u))
+  return utils.to_host_complex(rho)
 
 
-def fidelity(model: hamiltonian_model.Hamiltonian,
-             sigma: jnp.ndarray) -> jnp.ndarray:
+def fidelity(model: hamiltonian_model.Hamiltonian, sigma) -> jnp.ndarray:
   r"""F(rho, sigma) via the Hermitian eigendecomposition of
-  sqrt(K) U^dagger sigma U sqrt(K) (reference qhbm_utils.py:62-116)."""
-  sigma = jnp.asarray(sigma, jnp.complex64)
+  sqrt(K) U^dagger sigma U sqrt(K) (reference qhbm_utils.py:62-116).
+
+  `sigma` is taken as a host array; it enters the device computation as
+  separate real/imag float parts (complex host<->device transfers are not
+  available on every backend), and the final eigendecomposition runs on
+  host (metrics-only; never differentiated).
+  """
+  from qhbmlib_tpu import utils
+  sigma = np.asarray(sigma, np.complex128)
+  sig_re = jnp.asarray(np.real(sigma), jnp.float32)
+  sig_im = jnp.asarray(np.imag(sigma), jnp.float32)
   k_theta = ebm_utils.probabilities(model.energy).astype(jnp.complex64)
   u_phi = qnn_utils.unitary(model.circuit)
-  u_phi_dagger = jnp.conj(u_phi.T)
+  sig = (sig_re + 1j * sig_im).astype(jnp.complex64)
   sqrt_k = jnp.sqrt(k_theta)
-  omega = jnp.einsum("a,ab,bc,cd,d->ad", sqrt_k, u_phi_dagger, sigma, u_phi,
-                     sqrt_k)
-  d_omega = jnp.linalg.eigvalsh(omega)
-  # Clip tiny negative eigenvalues from finite precision.
-  d_omega = jnp.maximum(jnp.real(d_omega), 0.0)
-  return jnp.sum(jnp.sqrt(d_omega))**2
+  omega = jnp.einsum("a,ab,bc,cd,d->ad", sqrt_k, jnp.conj(u_phi.T), sig,
+                     u_phi, sqrt_k)
+  d_omega = np.linalg.eigvalsh(
+      np.asarray(utils.to_host_complex(omega), np.complex128))
+  d_omega = np.maximum(np.real(d_omega), 0.0)
+  return jnp.asarray(np.sum(np.sqrt(d_omega))**2, jnp.float32)

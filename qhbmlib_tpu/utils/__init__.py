@@ -95,3 +95,11 @@ class Squeeze:
     if self._axis is None:
       return jnp.squeeze(inputs)
     return jnp.squeeze(inputs, axis=self._axis)
+
+
+def to_host_complex(x) -> np.ndarray:
+  """Fetches a complex device array to host as numpy, transferring the real
+  and imaginary parts separately (some accelerator backends cannot transfer
+  complex arrays in either direction)."""
+  return (np.asarray(jnp.real(x), np.float64) +
+          1j * np.asarray(jnp.imag(x), np.float64))
