@@ -163,11 +163,58 @@ def _term_parity_mean(probs: jnp.ndarray, mask: np.ndarray, key, shots: int):
   return jnp.mean(par.astype(jnp.float32))
 
 
-def _sampled_term_means_one(circuits_per_term, values, init_bits, key, shots,
+def _group_terms(ops):
+  """Greedy qubit-wise-commuting grouping of all terms of all ops.
+
+  Terms whose per-qubit Paulis agree wherever both are non-identity share a
+  measurement basis: ONE basis-rotated circuit simulation + shot batch
+  serves the whole group (real-hardware practice; at a TFIM observable this
+  collapses ~40 per-term simulations into 2).
+
+  Returns [(basis_codes, masks [Gt, n] np.int32, term_indices tuple)].
+  """
+  groups = []
+  t_global = 0
+  for op in ops:
+    n = op.num_qubits
+    for t in range(op.num_terms):
+      codes = op.codes[t]
+      placed = False
+      for g in groups:
+        basis = g["basis"]
+        if all(basis[q] in (paulis.I, c)
+               for q, c in enumerate(codes) if c != paulis.I):
+          for q, c in enumerate(codes):
+            if c != paulis.I:
+              basis[q] = c
+          g["terms"].append((codes, t_global))
+          placed = True
+          break
+      if not placed:
+        groups.append({"basis": [c for c in codes],
+                       "terms": [(codes, t_global)]})
+      t_global += 1
+  out = []
+  for g in groups:
+    masks = np.asarray(
+        [[1 if c != paulis.I else 0 for c in codes]
+         for codes, _ in g["terms"]], np.int32)
+    idxs = tuple(t for _, t in g["terms"])
+    out.append((tuple(g["basis"]), masks, idxs))
+  return out
+
+
+def _sampled_term_means_one(plan, values, init_bits, key, shots,
                             angle_offsets=None):
-  """[T] sampled <P_t> (coefficient-free) for one initial state."""
-  outs = []
-  for t, (rot_circuit, mask) in enumerate(circuits_per_term):
+  """[T] sampled <P_t> (coefficient-free) for one initial state.
+
+  `plan` = (groups, num_terms); one simulation + one shot batch per
+  measurement-basis group, all of the group's term parities estimated from
+  the same samples.
+  """
+  groups, num_terms = plan
+  out = jnp.zeros([num_terms], jnp.float32)
+  for gi, (rot_circuit, masks, term_idx) in enumerate(groups):
     n = rot_circuit.num_qubits
     state = sv.basis_state(n, init_bits)
     # angle_offsets apply to the ORIGINAL circuit gates; rotation gates that
@@ -178,10 +225,15 @@ def _sampled_term_means_one(circuits_per_term, values, init_bits, key, shots,
       offs = jnp.concatenate(
           [angle_offsets, jnp.zeros([pad], jnp.float32)])
     psi = sv.apply_circuit(rot_circuit, values, state, angle_offsets=offs)
-    outs.append(
-        _term_parity_mean(sv.probabilities(psi), mask,
-                          jax.random.fold_in(key, t), shots))
-  return jnp.stack(outs)
+    probs = sv.probabilities(psi)
+    logits = jnp.log(jnp.maximum(probs, 1e-38))
+    idx = jax.random.categorical(jax.random.fold_in(key, gi), logits,
+                                 shape=(shots,))
+    bits = sv.index_to_bits(idx, n).astype(jnp.int32)  # [shots, n]
+    par = 1 - 2 * ((bits @ jnp.asarray(masks.T, jnp.int32)) % 2)  # [shots,Gt]
+    means = jnp.mean(par.astype(jnp.float32), axis=0)
+    out = out.at[np.asarray(term_idx, np.int32)].set(means)
+  return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -190,8 +242,9 @@ def _sampled_term_means(plan, pqc: ir.Circuit, shots: int,
                         key: jax.Array) -> jnp.ndarray:
   """Sampled per-term expectations [B, T] with parameter-shift gradients.
 
-  `plan` is a static tuple of (rotated_circuit, zmask) per term.  Coefficients
-  are applied OUTSIDE so their gradients flow through plain autodiff.
+  `plan` is a static (groups, num_terms) measurement plan (see
+  `_group_terms`).  Coefficients are applied OUTSIDE so their gradients flow
+  through plain autodiff.
   """
   def one(bits, k):
     return _sampled_term_means_one(plan, values, bits, k, shots)
@@ -259,21 +312,24 @@ class SampledQuantumInference(QuantumInference):
 
   def _measurement_plan(self, pqc: ir.Circuit,
                         ops: Tuple[paulis.PauliSum, ...]):
-    """Static per-term (rotated circuit, parity mask) plan, cached."""
+    """Static grouped measurement plan ((groups, num_terms), slices), cached.
+
+    Qubit-wise-commuting terms share one basis-rotated circuit + shot batch.
+    """
     cache_key = (id(pqc),) + tuple(id(op) for op in ops)
     if cache_key not in self._plan_cache:
-      plan = []
+      groups = []
+      for basis_codes, masks, term_idx in _group_terms(ops):
+        groups.append((_measurement_rotation(pqc, basis_codes), masks,
+                       term_idx))
+      num_terms = sum(op.num_terms for op in ops)
       slices = []
       start = 0
       for op in ops:
-        for t in range(op.num_terms):
-          codes = op.codes[t]
-          mask = np.asarray([1 if c != paulis.I else 0 for c in codes],
-                            np.int32)
-          plan.append((_measurement_rotation(pqc, codes), mask))
         slices.append((start, start + op.num_terms))
         start += op.num_terms
-      self._plan_cache[cache_key] = (tuple(plan), tuple(slices))
+      self._plan_cache[cache_key] = ((tuple(groups), num_terms),
+                                     tuple(slices))
     return self._plan_cache[cache_key]
 
   def expectation(self, initial_states, observables):
