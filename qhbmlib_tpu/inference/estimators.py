@@ -41,49 +41,40 @@ def _combined_sums(values, cotangents) -> jnp.ndarray:
   return total
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def sampled_expectation(energy_apply: Callable, f: Callable,
-                        theta, f_params, support_f: jnp.ndarray,
-                        counts_f: jnp.ndarray):
-  """Count-weighted average of f over sampled support, with eq. A5 gradients.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _avg_with_score(energy_apply: Callable, theta, values,
+                    support_f: jnp.ndarray, counts_f: jnp.ndarray):
+  """Count-weighted average of per-sample `values` whose VJP adds the
+  eq. A5 score-function gradient for `theta`.
 
-  Args:
-    energy_apply: static pure fn (theta, bitstrings) -> [U] energies.
-    f: static pure fn (f_params, bitstrings) -> pytree of [U, ...] values.
-    theta: energy parameters (pytree); receives the score-function gradient.
-    f_params: parameters f depends on (pytree); receives pathwise gradients.
-      If f also depends on the energy parameters, pass them (also) inside
-      f_params -- cotangents add up in the caller.
-    support_f: [U, n] float bitstrings (stop-gradient sampled support).
-    counts_f: [U] float occurrence counts (stop-gradient).
-
-  Returns:
-    pytree of [...] count-weighted averages of f's outputs.
+  Placing the custom VJP at the averaging boundary (instead of wrapping the
+  whole f evaluation) lets the expensive f -- typically a batched quantum
+  expectation -- run its forward ONCE and receive ordinary pathwise
+  cotangents through `values`; the old design's backward re-ran f's forward
+  to build an inner jax.vjp.
   """
-  bits = support_f.astype(jnp.int8)
-  values = f(f_params, bits)
   return utils.weighted_average(counts_f, values)
 
 
-def _se_fwd(energy_apply, f, theta, f_params, support_f, counts_f):
-  bits = support_f.astype(jnp.int8)
-  values = f(f_params, bits)
+def _aws_fwd(energy_apply, theta, values, support_f, counts_f):
   avg = utils.weighted_average(counts_f, values)
-  return avg, (theta, f_params, support_f, counts_f, values)
+  return avg, (theta, values, support_f, counts_f)
 
 
-def _se_bwd(energy_apply, f, res, g):
-  theta, f_params, support_f, counts_f, values = res
+def _aws_bwd(energy_apply, res, g):
+  theta, values, support_f, counts_f = res
   bits = support_f.astype(jnp.int8)
   counts = counts_f
   total = jnp.sum(counts)
 
-  # Pathwise term: d/d(f_params) of the count-weighted average, cotangent g.
-  def avg_fn(fp):
-    return utils.weighted_average(counts, f(fp, bits))
+  # Pathwise cotangent of `values`: d avg / d values = counts/total.
+  weights = counts / total
 
-  _, vjp_f = jax.vjp(avg_fn, f_params)
-  (f_bar,) = vjp_f(g)
+  def one_bar(v_leaf, g_leaf):
+    w = weights.reshape((-1,) + (1,) * (v_leaf.ndim - 1))
+    return w * jnp.broadcast_to(g_leaf, v_leaf.shape[1:])
+
+  values_bar = jax.tree_util.tree_map(one_bar, values, g)
 
   # Score-function terms (eq. A5): <grad E><w.f> - <(w.f) grad E>, where
   # w.f is the per-sample scalar sum of upstream cotangent times value.
@@ -96,11 +87,35 @@ def _se_bwd(energy_apply, f, res, g):
 
   theta_bar = jax.tree_util.tree_map(
       lambda a, b: a * avg_combined - b, mean_grad_e, mean_combined_grad_e)
-  return (theta_bar, f_bar, jnp.zeros_like(support_f),
+  return (theta_bar, values_bar, jnp.zeros_like(support_f),
           jnp.zeros_like(counts_f))
 
 
-sampled_expectation.defvjp(_se_fwd, _se_bwd)
+_avg_with_score.defvjp(_aws_fwd, _aws_bwd)
+
+
+def sampled_expectation(energy_apply: Callable, f: Callable,
+                        theta, f_params, support_f: jnp.ndarray,
+                        counts_f: jnp.ndarray):
+  """Count-weighted average of f over sampled support, with eq. A5 gradients.
+
+  Args:
+    energy_apply: static pure fn (theta, bitstrings) -> [U] energies.
+    f: static pure fn (f_params, bitstrings) -> pytree of [U, ...] values.
+    theta: energy parameters (pytree); receives the score-function gradient.
+    f_params: parameters f depends on (pytree); receives pathwise gradients
+      through ordinary autodiff of f.  If f also depends on the energy
+      parameters, pass them (also) inside f_params -- cotangents add up in
+      the caller.
+    support_f: [U, n] float bitstrings (stop-gradient sampled support).
+    counts_f: [U] float occurrence counts (stop-gradient).
+
+  Returns:
+    pytree of [...] count-weighted averages of f's outputs.
+  """
+  bits = support_f.astype(jnp.int8)
+  values = f(f_params, bits)
+  return _avg_with_score(energy_apply, theta, values, support_f, counts_f)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
