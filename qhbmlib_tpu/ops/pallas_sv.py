@@ -35,6 +35,7 @@ backward sweep.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -204,6 +205,105 @@ def _make_kernel(descs, r, c, nr, m):
   return kernel
 
 
+def _find_period(descs):
+  """Longest repetition count T such that `descs` == period * T (statically).
+
+  Parameterized circuits built from repeated layers (the hardware-efficient
+  ansatz, Trotter steps) produce identical static segment descriptors per
+  layer; the kernel then loops over layers instead of unrolling them, which
+  divides Mosaic program size (and compile time) by T.
+  """
+  s = len(descs)
+  for p in range(1, s + 1):
+    if s % p:
+      continue
+    if all(descs[i] == descs[i % p] for i in range(s)):
+      return p, s // p
+  return s, 1
+
+
+def _stack_inputs(inputs, per_period: int, t_count: int):
+  """Stacks the flat per-segment input list across T period repeats.
+
+  `inputs` is [(tag, array), ...] with `per_period` entries per repeat; the
+  result has `per_period` entries, each [T, ...]."""
+  stacked = []
+  for j in range(per_period):
+    tag = inputs[j][0]
+    arrs = [inputs[t * per_period + j][1] for t in range(t_count)]
+    stacked.append((tag, jnp.stack(arrs)))
+  return stacked
+
+
+def _make_layered_kernel(period_descs, t_count, r, c, nr, m):
+  """Kernel looping over T repeats of a static period of segments.
+
+  Same math as `_make_kernel`, but inputs carry a leading [T] axis indexed
+  by the loop counter, so the compiled program size is independent of the
+  number of layers."""
+
+  def kernel(*refs):
+    in_refs = refs[:-2]
+    out_re, out_im = refs[-2], refs[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+
+    def body(t, carry):
+      x_re, x_im = carry
+      pos = 2
+      for kind, meta in period_descs:
+        if kind == "major1q":
+          mats_re = in_refs[pos]
+          mats_im = in_refs[pos + 1]
+          pos += 2
+          for g, q in enumerate(meta):
+            a = 2**q
+            vr = x_re.reshape(a, 2, -1)
+            vi = x_im.reshape(a, 2, -1)
+            v0r, v1r = vr[:, 0, :], vr[:, 1, :]
+            v0i, v1i = vi[:, 0, :], vi[:, 1, :]
+            m00r, m01r = mats_re[t, g, 0], mats_re[t, g, 1]
+            m10r, m11r = mats_re[t, g, 2], mats_re[t, g, 3]
+            m00i, m01i = mats_im[t, g, 0], mats_im[t, g, 1]
+            m10i, m11i = mats_im[t, g, 2], mats_im[t, g, 3]
+            n0r = m00r * v0r - m00i * v0i + m01r * v1r - m01i * v1i
+            n0i = m00r * v0i + m00i * v0r + m01r * v1i + m01i * v1r
+            n1r = m10r * v0r - m10i * v0i + m11r * v1r - m11i * v1i
+            n1i = m10r * v0i + m10i * v0r + m11r * v1i + m11i * v1r
+            x_re = jnp.stack([n0r, n1r], axis=1).reshape(r, c)
+            x_im = jnp.stack([n0i, n1i], axis=1).reshape(r, c)
+        elif kind == "minor_mm":
+          mt_re = in_refs[pos][t]
+          mt_im = in_refs[pos + 1][t]
+          pos += 2
+          dot = lambda a, b: jax.lax.dot(a, b,
+                                         precision=jax.lax.Precision.HIGHEST,
+                                         preferred_element_type=jnp.float32)
+          y_re = dot(x_re, mt_re) - dot(x_im, mt_im)
+          y_im = dot(x_re, mt_im) + dot(x_im, mt_re)
+          x_re, x_im = y_re, y_im
+        else:  # diag
+          cos_k = in_refs[pos]
+          sin_k = in_refs[pos + 1]
+          pos += 2
+          rms, cms = meta
+          for k in range(len(rms)):
+            s = _xor_parity_sign(rows, rms[k]) * _xor_parity_sign(cols, cms[k])
+            ck = cos_k[t, k, 0]
+            sk = sin_k[t, k, 0] * s
+            y_re = ck * x_re - sk * x_im
+            y_im = ck * x_im + sk * x_re
+            x_re, x_im = y_re, y_im
+      return x_re, x_im
+
+    x_re, x_im = jax.lax.fori_loop(
+        0, t_count, body, (in_refs[0][:], in_refs[1][:]))
+    out_re[:] = x_re
+    out_im[:] = x_im
+
+  return kernel
+
+
 def apply_circuit_pallas(circuit: ir.Circuit,
                          symbol_values: jnp.ndarray,
                          state: jnp.ndarray,
@@ -215,7 +315,14 @@ def apply_circuit_pallas(circuit: ir.Circuit,
   nr = n - m
   angles = [sv.resolve_angle(gate, symbol_values) for gate in circuit.gates]
   descs, inputs = _prepare_segments(circuit, angles, (r, c))
-  kernel = _make_kernel(descs, r, c, nr, m)
+  per_period, t_count = _find_period(descs)
+  if t_count > 1:
+    # Inputs per segment: every desc consumes exactly two input arrays.
+    inputs = _stack_inputs(inputs, 2 * per_period, t_count)
+    descs = descs[:per_period]
+    kernel = _make_layered_kernel(descs, t_count, r, c, nr, m)
+  else:
+    kernel = _make_kernel(descs, r, c, nr, m)
 
   x_re = jnp.real(state).astype(jnp.float32)
   x_im = jnp.imag(state).astype(jnp.float32)
@@ -234,11 +341,20 @@ def apply_circuit_pallas(circuit: ir.Circuit,
         for tag, _ in tagged]
     out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                       for _ in range(2))
+  kwargs = {}
+  if not interpret and pltpu is not None:
+    # Mosaic's default scoped-VMEM cap (16MB) is far below the physical
+    # VMEM on v5e+; the whole-circuit kernel needs state planes + working
+    # copies resident, so raise the cap explicitly.
+    kwargs["compiler_params"] = pltpu.CompilerParams(
+        vmem_limit_bytes=int(
+            os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 100 << 20)))
   o_re, o_im = pl.pallas_call(
       kernel,
       out_shape=out_shape,
       in_specs=specs,
       out_specs=out_specs,
       interpret=interpret,
+      **kwargs,
   )(*all_inputs)
   return (o_re + 1j * o_im).astype(sv.COMPLEX_DTYPE)

@@ -376,6 +376,111 @@ def _is_diag_codes(codes) -> bool:
   return all(code in (paulis.I, paulis.Z) for code in codes)
 
 
+def _term_factors(codes_row, nr: int):
+  """Splits a Pauli code row into major (row-qubit) and minor (column-qubit)
+  non-identity factors: ([(q, code)], [(pos_in_minor, code)])."""
+  majors = [(q, code) for q, code in enumerate(codes_row)
+            if code != paulis.I and q < nr]
+  minors = [(q - nr, code) for q, code in enumerate(codes_row)
+            if code != paulis.I and q >= nr]
+  return majors, minors
+
+
+def _minor_pauli_np(minor_factors, m: int) -> np.ndarray:
+  """Static [C, C] complex64 matrix of a Pauli string supported on minor
+  (column) qubits only.  `minor_factors` is [(pos, code)] with ascending
+  positions (position 0 = most significant column bit)."""
+  positions = tuple(p for p, _ in minor_factors)
+  mat = None
+  for _, code in minor_factors:
+    f = paulis._PAULI_MATS[code]
+    mat = f if mat is None else np.kron(mat, f)
+  if mat is None:
+    return np.eye(2**m, dtype=np.complex64)
+  big = np.kron(mat, np.eye(2**(m - len(positions)), dtype=np.complex64))
+  perm = _embed_perm(positions, m)
+  return np.ascontiguousarray(big[perm][:, perm]).astype(np.complex64)
+
+
+def _major_kron_np(bin_qubits, factor_by_qubit) -> np.ndarray:
+  """Static [2^k, 2^k] kron of per-qubit Pauli factors over the (sorted)
+  major qubits of a bin; identity on bin qubits the term does not touch."""
+  mat = None
+  for q in bin_qubits:
+    f = paulis._PAULI_MATS[factor_by_qubit.get(q, paulis.I)]
+    mat = f if mat is None else np.kron(mat, f)
+  return mat.astype(np.complex64)
+
+
+def _interleave_kron_np(p_np: np.ndarray, k: int) -> np.ndarray:
+  """[2^k, 2^k] kron matrix -> (2,)*2k tensor with per-qubit (conj, value)
+  index pairs interleaved, matching the transition-tensor axis order."""
+  t = p_np.reshape((2,) * (2 * k))
+  perm = []
+  for i in range(k):
+    perm += [i, k + i]
+  return np.ascontiguousarray(np.transpose(t, perm))
+
+
+def _bin_by_support(items, max_k: int = 3):
+  """Greedy first-fit binning of (payload, support_tuple) items into bins
+  whose union support stays within `max_k` qubits.  One state pass then
+  serves every term in a bin.  Returns [(sorted_support_tuple, [payload])].
+  """
+  bins = []
+  for payload, sup in items:
+    s = set(sup)
+    for b in bins:
+      if len(b[0] | s) <= max_k:
+        b[0] |= s
+        b[1].append(payload)
+        break
+    else:
+      bins.append([set(s), [payload]])
+  return [(tuple(sorted(b[0])), b[1]) for b in bins]
+
+
+# Einsum programs for joint transition tensors over k major qubits:
+# conj-side index immediately precedes the value-side index per qubit.
+_TRANS_PURE = {
+    1: "air,axr->ix",
+    2: "aibjr,axbyr->ixjy",
+    3: "aibjekr,axbyezr->ixjykz",
+}
+_TRANS_FULL = {
+    1: "aibC,axbD->ixCD",
+    2: "aibjeC,axbyeD->ixjyCD",
+    3: "aibjekfC,axbyezfD->ixjykzCD",
+}
+
+
+def _major_view(state: jnp.ndarray, bin_qubits, keep_cols: bool):
+  """Reshape [R, C] exposing each bin qubit as its own size-2 axis."""
+  r, c = state.shape
+  shape = []
+  prev = -1
+  for q in bin_qubits:
+    shape.append(2**(q - prev - 1))
+    shape.append(2)
+    prev = q
+  if keep_cols:
+    return state.reshape(tuple(shape) + (-1, c))
+  return state.reshape(tuple(shape) + (-1,))
+
+
+def major_transition(state: jnp.ndarray, bin_qubits,
+                     keep_cols: bool = False) -> jnp.ndarray:
+  """Joint transition tensor over k <= 3 major qubits in ONE state pass:
+  G[i1,x1,...] = sum_rest conj(psi)[..i..] psi[..x..]; with `keep_cols` the
+  column axes stay separate (G[..., C, D]) so minor factors can contract
+  afterwards.  Every Pauli expectation supported on `bin_qubits` (plus
+  minors when keep_cols) is then a tiny static contraction against G."""
+  k = len(bin_qubits)
+  view = _major_view(state, bin_qubits, keep_cols)
+  prog = (_TRANS_FULL if keep_cols else _TRANS_PURE)[k]
+  return jnp.einsum(prog, jnp.conj(view), view)
+
+
 def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
                     term_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
   """(sum_t w_t * coeffs[t] * P_t)|psi>.
@@ -393,17 +498,51 @@ def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
       w = w * term_weights[t].astype(COMPLEX_DTYPE)
     return w
 
-  diag_idx = [t for t in range(op.num_terms) if _is_diag_codes(op.codes[t])]
+  diag_idx = set(t for t in range(op.num_terms) if _is_diag_codes(op.codes[t]))
   out = jnp.zeros_like(state)
   if diag_idx:
-    masks = [pauli_z_masks(op.codes[t], nr, m) for t in diag_idx]
-    d = parity_outer_sum([weight(t) for t in diag_idx],
+    ordered = sorted(diag_idx)
+    masks = [pauli_z_masks(op.codes[t], nr, m) for t in ordered]
+    d = parity_outer_sum([weight(t) for t in ordered],
                          [rm for rm, _ in masks],
                          [cm for _, cm in masks], state.shape)  # [R, C]
     out = out + d * state
+
+  # Tier the remaining (X/Y-carrying) terms so the pass count stays small:
+  #   minor-only strings fold into ONE [C, C] matmul;
+  #   major-supported strings (no minor factors) pack 3 qubits per pass;
+  #   everything else falls back to a per-term state pass.
+  minor_only, pure_major, rest = [], [], []
   for t in range(op.num_terms):
     if t in diag_idx:
       continue
+    majors, minors = _term_factors(op.codes[t], nr)
+    if not majors:
+      minor_only.append(t)
+    elif not minors and len(majors) <= 3:
+      pure_major.append((t, tuple(q for q, _ in majors)))
+    else:
+      rest.append(t)
+
+  if minor_only:
+    mat = None
+    for t in minor_only:
+      p_np = jnp.asarray(
+          _minor_pauli_np(_term_factors(op.codes[t], nr)[1], m))
+      term = weight(t) * p_np
+      mat = term if mat is None else mat + term
+    out = out + state @ mat.T
+
+  for bin_qubits, ts in _bin_by_support(pure_major):
+    amat = None
+    for t in ts:
+      majors, _ = _term_factors(op.codes[t], nr)
+      p_np = jnp.asarray(_major_kron_np(bin_qubits, dict(majors)))
+      term = weight(t) * p_np
+      amat = term if amat is None else amat + term
+    out = out + apply_dense(amat, bin_qubits, state)
+
+  for t in rest:
     out = out + weight(t) * apply_pauli_string(state, op.codes[t])
   return out
 
@@ -759,23 +898,68 @@ def expectation_terms(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
   n = len(op.codes[0]) if op.num_terms else num_qubits_of(state)
   m = int(c).bit_length() - 1
   nr = n - m
-  conj = state.conj()
-  diag_idx = [t for t in range(op.num_terms) if _is_diag_codes(op.codes[t])]
-  diag_vals = None
+  num_terms = op.num_terms
+  vals = [None] * num_terms
+
+  diag_idx = [t for t in range(num_terms) if _is_diag_codes(op.codes[t])]
   if diag_idx:
-    prob = jnp.real(conj * state)  # |psi|^2 as [R, C]
+    prob = jnp.real(jnp.conj(state) * state)  # |psi|^2 as [R, C]
     masks = [pauli_z_masks(op.codes[t], nr, m) for t in diag_idx]
     diag_vals = parity_bilinear([rm for rm, _ in masks],
                                 [cm for _, cm in masks], prob)
-  vals = []
-  k = 0
-  for t in range(op.num_terms):
-    if t in diag_idx:
-      vals.append(diag_vals[k])
-      k += 1
+    for k, t in enumerate(diag_idx):
+      vals[t] = diag_vals[k]
+
+  # Tier the X/Y-carrying terms (see apply_pauli_sum): minor-only terms all
+  # come from ONE [C, C] cross-row contraction; major-supported terms share
+  # joint transition tensors, 3 qubits per state pass; mixed major+minor
+  # terms contract a column-resolved transition tensor; >3-major-qubit
+  # strings fall back to a per-term pass.
+  minor_only, pure_major, mixed, fallback = [], [], [], []
+  for t in range(num_terms):
+    if vals[t] is not None:
+      continue
+    majors, minors = _term_factors(op.codes[t], nr)
+    mq = tuple(q for q, _ in majors)
+    if not majors:
+      minor_only.append(t)
+    elif len(mq) > 3:
+      fallback.append(t)
+    elif not minors:
+      pure_major.append((t, mq))
     else:
-      p_state = apply_pauli_string(state, op.codes[t])
-      vals.append(jnp.real(jnp.sum(conj * p_state)))
+      mixed.append((t, mq))
+
+  if minor_only:
+    kmat = jnp.einsum("rc,rd->cd", jnp.conj(state), state)  # [C, C]
+    for t in minor_only:
+      p_np = _minor_pauli_np(_term_factors(op.codes[t], nr)[1], m)
+      vals[t] = jnp.real(jnp.sum(jnp.asarray(p_np) * kmat))
+
+  for bin_qubits, ts in _bin_by_support(pure_major):
+    k = len(bin_qubits)
+    g = major_transition(state, bin_qubits)  # [2, 2] * k
+    for t in ts:
+      majors, _ = _term_factors(op.codes[t], nr)
+      p_np = _interleave_kron_np(_major_kron_np(bin_qubits, dict(majors)), k)
+      vals[t] = jnp.real(jnp.sum(jnp.asarray(p_np) * g))
+
+  for bin_qubits, ts in _bin_by_support(mixed):
+    k = len(bin_qubits)
+    g = major_transition(state, bin_qubits, keep_cols=True)  # [...2x2, C, D]
+    for t in ts:
+      majors, minors = _term_factors(op.codes[t], nr)
+      pmaj = _interleave_kron_np(_major_kron_np(bin_qubits, dict(majors)), k)
+      pmin = _minor_pauli_np(minors, m)
+      gm = jnp.tensordot(g, jnp.asarray(pmin), axes=([-2, -1], [0, 1]))
+      vals[t] = jnp.real(jnp.sum(jnp.asarray(pmaj) * gm))
+
+  conj = None
+  for t in fallback:
+    if conj is None:
+      conj = jnp.conj(state)
+    p_state = apply_pauli_string(state, op.codes[t])
+    vals[t] = jnp.real(jnp.sum(conj * p_state))
   return jnp.stack(vals)
 
 
