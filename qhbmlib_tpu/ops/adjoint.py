@@ -146,8 +146,11 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
 
   Gates on distinct qubits commute, so for gate g (with later same-qubit
   gates A): dE/dangle_g = 2 Re <lam| A dU_g U_g^dagger A^dagger |a_out>,
-  a 2x2 contraction against the reduced matrix G_q.  Un-applies merge per
-  qubit; all minor-qubit inverses combine into one [C, C] matmul.
+  a 2x2 contraction against the reduced transition matrix G_q.  Row-qubit
+  G_q's come from ONE <=7-bit block-transition MXU contraction per row
+  block (then tiny partial traces); minor-qubit G_q's from one [C, C]
+  cross contraction.  Un-applies kron-fold into one block matmul per row
+  block plus one [C, C] matmul for all minors.
   """
   r, c = a.shape
   n = sv.num_qubits_of(a)
@@ -157,11 +160,29 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
   for gate, angle in zip(seg_gates, seg_angles):
     by_qubit.setdefault(gate.qubits[0], []).append((gate, angle))
 
-  grad_qubits = [q for q, chain in by_qubit.items()
-                 if any(gate.slot >= 0 for gate, _ in chain)]
-  g_mats = _g_matrices(lam, a, grad_qubits)
+  grad_qubits = set(q for q, chain in by_qubit.items()
+                    if any(gate.slot >= 0 for gate, _ in chain))
+
+  # Reduced transition matrices for every qubit that needs a gradient.
+  g_mats = {}
+  minor_grads = sorted(q for q in grad_qubits if q >= nr)
+  if minor_grads:
+    kmat = jnp.einsum("rc,rd->cd", jnp.conj(lam), a)  # [C, C]
+    for q in minor_grads:
+      pos = q - nr
+      pre, post = 2**pos, 2**(m - pos - 1)
+      kt = kmat.reshape(pre, 2, post, pre, 2, post)
+      g_mats[q] = jnp.einsum("aibajb->ij", kt)
+  for start, k in sv._row_blocks(nr):
+    block_grads = sorted(q for q in grad_qubits if start <= q < start + k)
+    if not block_grads:
+      continue
+    g_block = sv.block_transition(lam, a, start, k)
+    for q in block_grads:
+      g_mats[q] = sv.partial_trace_1q(g_block, k, q - start)
+
   minor_inv = None
-  major_invs = []
+  major_inv_by_qubit = {}
   for q in sorted(by_qubit):
     chain = by_qubit[q]
     g_mat = g_mats.get(q)
@@ -181,26 +202,18 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
       emb = sv._embed_minor_mat(v_inv, (q - nr,), m)
       minor_inv = emb if minor_inv is None else emb @ minor_inv
     else:
-      major_invs.append((q, v_inv))
-  if a.size >= 2**24:
-    # Huge states: avoid the [2, R, C] stacked buffer (peak-memory bound);
-    # un-apply each state separately with the same packed matrices.
-    if major_invs:
-      a = sv.apply_major_1q_packed(major_invs, a)
-      lam = sv.apply_major_1q_packed(major_invs, lam)
+      major_inv_by_qubit[q] = v_inv
+
+  def unapply(state):
+    for start, k in sv._row_blocks(nr):
+      mat = sv._fold_block(major_inv_by_qubit, start, k)
+      if mat is not None:
+        state = sv.apply_row_block(mat, start, k, state)
     if minor_inv is not None:
-      a = a @ minor_inv.T
-      lam = lam @ minor_inv.T
-    return a, lam
-  # Un-apply a and lam together: stack into [2, R, C] so every pass serves
-  # both states, with major-qubit inverses packed into 3-qubit kron blocks.
-  pair = jnp.stack([a, lam])
-  if major_invs:
-    pair = jax.vmap(
-        lambda s: sv.apply_major_1q_packed(major_invs, s))(pair)
-  if minor_inv is not None:
-    pair = pair @ minor_inv.T
-  return pair[0], pair[1]
+      state = state @ minor_inv.T
+    return state
+
+  return unapply(a), unapply(lam)
 
 
 def _seq_barrier(a, lam, grad_terms, start):
@@ -253,7 +266,10 @@ def _bwd(circuit, res, g):
               jnp.sum(jnp.conj(lam.reshape(-1)) * d_psi.reshape(-1)))
           grad_terms.append((gate.slot, gate.coeff * dangle))
         lam = _apply_inverse(gate, angle, lam)
-    a, lam = _seq_barrier(a, lam, grad_terms, seg_start)
+    if a.size >= 2**24:
+      # Barriers protect peak HBM at huge states only; at VMEM-friendly
+      # sizes they just constrain XLA's scheduler.
+      a, lam = _seq_barrier(a, lam, grad_terms, seg_start)
   if grad_terms:
     slots = jnp.asarray([s for s, _ in grad_terms], jnp.int32)
     contribs = jnp.stack([d for _, d in grad_terms])
@@ -447,11 +463,12 @@ def batched_expectations(circuit: ir.Circuit,
 
   batch = init_bits.shape[0]
   if batch_chunk is None:
-    # Small chunks win: keeping the vmapped working set near VMEM size
-    # streams better than wide batches (measured at 20 qubits: chunk=1 runs
-    # 1.6x faster than chunk=16 for grad over a 64-state batch).
+    # The adjoint backward keeps ~4 state-sized buffers live per vmapped
+    # element; target ~128MB of live chunk state (measured optimum on v5e
+    # at 20 qubits with the block-matmul engine: chunk=4 beats 2 by 1.45x
+    # and 16 by 2.7x).
     state_bytes = 8 * (2**n)
-    batch_chunk = max(1, min(batch, (16 << 20) // state_bytes))
+    batch_chunk = max(1, min(batch, (128 << 20) // (4 * state_bytes)))
   terms = _batched_terms(circuit, _HashableOp(big), batch_chunk,
                          symbol_values, init_bits)  # [B, T]
   weighted = terms * jnp.real(all_coeffs)[None, :]

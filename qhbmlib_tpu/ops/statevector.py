@@ -412,6 +412,16 @@ def _major_kron_np(bin_qubits, factor_by_qubit) -> np.ndarray:
   return mat.astype(np.complex64)
 
 
+def _embed_block_pauli_np(major_factors, start: int, k: int) -> np.ndarray:
+  """Static [2^k, 2^k] kron of per-qubit Pauli factors over the row block
+  [start, start+k), identity on untouched qubits."""
+  by_q = dict(major_factors)
+  mat = np.ones((1, 1), np.complex64)
+  for q in range(start, start + k):
+    mat = np.kron(mat, paulis._PAULI_MATS[by_q.get(q, paulis.I)])
+  return mat.astype(np.complex64)
+
+
 def _interleave_kron_np(p_np: np.ndarray, k: int) -> np.ndarray:
   """[2^k, 2^k] kron matrix -> (2,)*2k tensor with per-qubit (conj, value)
   index pairs interleaved, matching the transition-tensor axis order."""
@@ -510,17 +520,28 @@ def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
 
   # Tier the remaining (X/Y-carrying) terms so the pass count stays small:
   #   minor-only strings fold into ONE [C, C] matmul;
-  #   major-supported strings (no minor factors) pack 3 qubits per pass;
+  #   major strings inside one row block sum into a [2^k, 2^k] block
+  #     operator, one MXU contraction per block;
+  #   major strings spanning blocks (<=3 qubits) pack into kron bins;
   #   everything else falls back to a per-term state pass.
-  minor_only, pure_major, rest = [], [], []
+  blocks = _row_blocks(nr)
+  minor_only, spanning, rest = [], [], []
+  block_terms = {b: [] for b in blocks}
   for t in range(op.num_terms):
     if t in diag_idx:
       continue
     majors, minors = _term_factors(op.codes[t], nr)
     if not majors:
       minor_only.append(t)
-    elif not minors and len(majors) <= 3:
-      pure_major.append((t, tuple(q for q, _ in majors)))
+    elif not minors:
+      mq = tuple(q for q, _ in majors)
+      home = [b for b in blocks if b[0] <= mq[0] and mq[-1] < b[0] + b[1]]
+      if home:
+        block_terms[home[0]].append(t)
+      elif len(mq) <= 3:
+        spanning.append((t, mq))
+      else:
+        rest.append(t)
     else:
       rest.append(t)
 
@@ -531,9 +552,20 @@ def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
           _minor_pauli_np(_term_factors(op.codes[t], nr)[1], m))
       term = weight(t) * p_np
       mat = term if mat is None else mat + term
-    out = out + state @ mat.T
+    out = out + jnp.matmul(state, mat.T, precision=matmul_precision())
 
-  for bin_qubits, ts in _bin_by_support(pure_major):
+  for (start, k), ts in block_terms.items():
+    if not ts:
+      continue
+    amat = None
+    for t in ts:
+      majors, _ = _term_factors(op.codes[t], nr)
+      p_np = jnp.asarray(_embed_block_pauli_np(majors, start, k))
+      term = weight(t) * p_np
+      amat = term if amat is None else amat + term
+    out = out + apply_row_block(amat, start, k, state)
+
+  for bin_qubits, ts in _bin_by_support(spanning):
     amat = None
     for t in ts:
       majors, _ = _term_factors(op.codes[t], nr)
@@ -778,10 +810,88 @@ def apply_major_1q_packed(major_mats, state: jnp.ndarray) -> jnp.ndarray:
   return state
 
 
+# Row (major) qubits are processed in contiguous blocks of up to this many
+# bits; each block's per-qubit 2x2 matrices kron-fold into ONE dense block
+# matrix applied as a single MXU contraction.  7 bits -> [128, 128] matches
+# the MXU's native 128x128 tile.
+_ROW_BLOCK_BITS = 7
+
+
+def matmul_precision():
+  """MXU precision for the state-sized block contractions.
+
+  f32 matmuls on TPU decompose into bf16 passes: 'default' (1 pass, ~4x
+  faster, ~3 decimal digits), 'high' (3 passes, ~f32), 'highest' (6
+  passes).  Statevector sweeps chain hundreds of contractions, so the
+  default here is 'high'; override with QHBM_MATMUL_PRECISION."""
+  import os
+  name = os.environ.get("QHBM_MATMUL_PRECISION", "high")
+  return {
+      "none": None,
+      "default": jax.lax.Precision.DEFAULT,
+      "high": jax.lax.Precision.HIGH,
+      "highest": jax.lax.Precision.HIGHEST,
+  }[name]
+
+
+def _row_blocks(nr: int):
+  """Partition of the nr row qubits into <=7-bit contiguous blocks."""
+  blocks = []
+  pos = 0
+  while pos < nr:
+    k = min(_ROW_BLOCK_BITS, nr - pos)
+    blocks.append((pos, k))
+    pos += k
+  return blocks
+
+
+def _fold_block(mats_by_qubit, start: int, k: int):
+  """kron over qubits [start, start+k): per-qubit matrix or identity.
+  Returns None when no qubit in the block has a matrix."""
+  if not any(start <= q < start + k for q in mats_by_qubit):
+    return None
+  mat = None
+  eye = jnp.eye(2, dtype=COMPLEX_DTYPE)
+  for q in range(start, start + k):
+    f = mats_by_qubit.get(q, eye)
+    mat = f if mat is None else jnp.kron(mat, f)
+  return mat
+
+
+def apply_row_block(mat_k: jnp.ndarray, start: int, k: int,
+                    state: jnp.ndarray) -> jnp.ndarray:
+  """Contracts a [2^k, 2^k] operator against row qubits [start, start+k)."""
+  r, c = state.shape
+  pre = 2**start
+  v = state.reshape(pre, 2**k, -1)
+  out = jnp.einsum("MN,aNb->aMb", mat_k, v, precision=matmul_precision())
+  return out.reshape(r, c)
+
+
+def block_transition(lam: jnp.ndarray, a: jnp.ndarray, start: int,
+                     k: int) -> jnp.ndarray:
+  """Joint transition matrix over a row block in one MXU contraction:
+  G[I, J] = sum_rest conj(lam)[..I..] a[..J..], shape [2^k, 2^k].  Every
+  1-local (and in-block multi-local) operator expectation/gradient on the
+  block is then a tiny contraction against G."""
+  pre = 2**start
+  lv = jnp.conj(lam.reshape(pre, 2**k, -1))
+  av = a.reshape(pre, 2**k, -1)
+  return jnp.einsum("aIb,aJb->IJ", lv, av, precision=matmul_precision())
+
+
+def partial_trace_1q(g_block: jnp.ndarray, k: int,
+                     pos_in_block: int) -> jnp.ndarray:
+  """[2^k, 2^k] block transition -> the 2x2 single-qubit transition."""
+  pre, post = 2**pos_in_block, 2**(k - pos_in_block - 1)
+  gt = g_block.reshape(pre, 2, post, pre, 2, post)
+  return jnp.einsum("aibajb->ij", gt)
+
+
 def _apply_1q_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
   """A run of 1-qubit dense gates: gates on distinct qubits commute, so they
   merge per qubit; minor-qubit products combine into one [C, C] matmul and
-  major-qubit matrices pack into 3-qubit kron blocks."""
+  major-qubit matrices kron-fold into <=7-bit row-block matmuls (MXU)."""
   r, c = state.shape
   n = num_qubits_of(state)
   m = c.bit_length() - 1
@@ -791,7 +901,7 @@ def _apply_1q_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
     by_qubit.setdefault(gate.qubits[0], []).append(
         gate_matrix(gate.kind, angle))
   minor_combined = None
-  major_mats = []
+  major_by_qubit = {}
   for q in sorted(by_qubit):
     mat = by_qubit[q][0]
     for nxt in by_qubit[q][1:]:
@@ -800,10 +910,13 @@ def _apply_1q_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
       emb = _embed_minor_mat(mat, (q - nr,), m)
       minor_combined = emb if minor_combined is None else emb @ minor_combined
     else:
-      major_mats.append((q, mat))
-  state = apply_major_1q_packed(major_mats, state)
+      major_by_qubit[q] = mat
+  for start, k in _row_blocks(nr):
+    mat = _fold_block(major_by_qubit, start, k)
+    if mat is not None:
+      state = apply_row_block(mat, start, k, state)
   if minor_combined is not None:
-    state = state @ minor_combined.T
+    state = jnp.matmul(state, minor_combined.T, precision=matmul_precision())
   return state
 
 
@@ -840,6 +953,16 @@ def _apply_diag_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
   return state * jnp.exp(1j * total.astype(COMPLEX_DTYPE))
 
 
+def _pallas_forward_enabled() -> bool:
+  """Opt-in: the whole-circuit Pallas kernel is currently VPU-bound on its
+  per-factor diagonal rotations and measures SLOWER than the block-matmul
+  JAX path below (2.4ms vs 1.8ms per 20q/4L apply, chained-scan timing on
+  v5e); the MXU block folding made plain XLA the fast path.  Kept for
+  experimentation via QHBM_PALLAS=1."""
+  import os
+  return os.environ.get("QHBM_PALLAS", "0") == "1"
+
+
 def apply_circuit(circuit: ir.Circuit,
                   symbol_values: jnp.ndarray,
                   state: jnp.ndarray,
@@ -849,7 +972,31 @@ def apply_circuit(circuit: ir.Circuit,
   is added to gate g's resolved angle -- the hook used by the parameter-shift
   differentiator to shift individual gate occurrences.  `fuse` enables
   trace-time gate fusion (see _apply_1q_segment / _apply_diag_segment).
+
+  On TPU lowerings, supported circuits dispatch to the whole-circuit Pallas
+  kernel (state stays VMEM-resident across every gate; one HBM round trip
+  total) via `lax.platform_dependent`; other platforms and unsupported
+  circuits take the segment-fused JAX path below.
   """
+  if (fuse and angle_offsets is None and _pallas_forward_enabled()):
+    from qhbmlib_tpu.ops import pallas_sv
+    if pallas_sv.supported(circuit):
+      return jax.lax.platform_dependent(
+          state,
+          tpu=functools.partial(pallas_sv.apply_circuit_pallas, circuit,
+                                symbol_values),
+          default=functools.partial(_apply_circuit_jax, circuit,
+                                    symbol_values, None, True))
+  return _apply_circuit_jax(circuit, symbol_values, angle_offsets, fuse,
+                            state)
+
+
+def _apply_circuit_jax(circuit: ir.Circuit,
+                       symbol_values: jnp.ndarray,
+                       angle_offsets: Optional[jnp.ndarray],
+                       fuse: bool,
+                       state: jnp.ndarray) -> jnp.ndarray:
+  """Segment-fused pure-JAX circuit application (all platforms)."""
   angles = []
   for g_idx, gate in enumerate(circuit.gates):
     angle = resolve_angle(gate, symbol_values)
@@ -915,7 +1062,9 @@ def expectation_terms(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
   # joint transition tensors, 3 qubits per state pass; mixed major+minor
   # terms contract a column-resolved transition tensor; >3-major-qubit
   # strings fall back to a per-term pass.
-  minor_only, pure_major, mixed, fallback = [], [], [], []
+  blocks = _row_blocks(nr)
+  minor_only, spanning, mixed, fallback = [], [], [], []
+  block_terms = {b: [] for b in blocks}
   for t in range(num_terms):
     if vals[t] is not None:
       continue
@@ -923,20 +1072,37 @@ def expectation_terms(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
     mq = tuple(q for q, _ in majors)
     if not majors:
       minor_only.append(t)
-    elif len(mq) > 3:
-      fallback.append(t)
-    elif not minors:
-      pure_major.append((t, mq))
+    elif minors:
+      if len(mq) <= 3:
+        mixed.append((t, mq))
+      else:
+        fallback.append(t)
     else:
-      mixed.append((t, mq))
+      home = [b for b in blocks if b[0] <= mq[0] and mq[-1] < b[0] + b[1]]
+      if home:
+        block_terms[home[0]].append(t)
+      elif len(mq) <= 3:
+        spanning.append((t, mq))
+      else:
+        fallback.append(t)
 
   if minor_only:
-    kmat = jnp.einsum("rc,rd->cd", jnp.conj(state), state)  # [C, C]
+    kmat = jnp.einsum("rc,rd->cd", jnp.conj(state), state,
+                      precision=matmul_precision())  # [C, C]
     for t in minor_only:
       p_np = _minor_pauli_np(_term_factors(op.codes[t], nr)[1], m)
       vals[t] = jnp.real(jnp.sum(jnp.asarray(p_np) * kmat))
 
-  for bin_qubits, ts in _bin_by_support(pure_major):
+  for (start, k), ts in block_terms.items():
+    if not ts:
+      continue
+    g_block = block_transition(state, state, start, k)  # [2^k, 2^k]
+    for t in ts:
+      majors, _ = _term_factors(op.codes[t], nr)
+      p_np = _embed_block_pauli_np(majors, start, k)
+      vals[t] = jnp.real(jnp.sum(jnp.asarray(p_np) * g_block))
+
+  for bin_qubits, ts in _bin_by_support(spanning):
     k = len(bin_qubits)
     g = major_transition(state, bin_qubits)  # [2, 2] * k
     for t in ts:
