@@ -22,9 +22,14 @@ def run_rung(name: str, steps: int, smoke: bool, qubits=None) -> dict:
       name, smoke=smoke, qubits=qubits)
   key = jax.random.PRNGKey(0)
   t0 = time.perf_counter()
-  key, sub = jax.random.split(key)
-  loss, params, opt_state, ebm_state = step_fn(params, opt_state, sub,
-                                               ebm_state)
+  # Two warmup calls: the first step may change the ebm_state pytree
+  # STRUCTURE (e.g. None -> concrete sampler state), which forces a second
+  # trace+compile on the next call -- warm until the structure is stable so
+  # the timed loop measures steady state.
+  for _ in range(2):
+    key, sub = jax.random.split(key)
+    loss, params, opt_state, ebm_state = step_fn(params, opt_state, sub,
+                                                 ebm_state)
   loss.block_until_ready()
   compile_s = time.perf_counter() - t0
 

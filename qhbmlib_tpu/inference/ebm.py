@@ -53,7 +53,7 @@ def _as_key(seed) -> jax.Array:
 def categorical_counts(key: jax.Array, logits: jnp.ndarray, num_samples: int,
                        length: int) -> jnp.ndarray:
   """Counts of `num_samples` categorical draws over `length` outcomes."""
-  idx = jax.random.categorical(key, logits, shape=(num_samples,))
+  idx = utils.categorical_indices(key, logits, num_samples)
   return jnp.zeros([length], jnp.float32).at[idx].add(1.0)
 
 
@@ -293,7 +293,7 @@ class AnalyticEnergyInference(EnergyInference):
 
   def sample_pure(self, theta, key, num_samples: int):
     logits = jax.lax.stop_gradient(self.logits_pure(theta))
-    idx = jax.random.categorical(key, logits, shape=(num_samples,))
+    idx = utils.categorical_indices(key, logits, num_samples)
     return jnp.take(self._all_bitstrings, idx, axis=0)
 
   def entropy_pure(self, theta, key):

@@ -155,7 +155,7 @@ def _measurement_rotation(pqc: ir.Circuit,
 def _term_parity_mean(probs: jnp.ndarray, mask: np.ndarray, key, shots: int):
   """Mean parity over `shots` samples of the masked qubits."""
   logits = jnp.log(jnp.maximum(probs, 1e-38))
-  idx = jax.random.categorical(key, logits, shape=(shots,))
+  idx = utils.categorical_indices(key, logits, shots)
   n = mask.shape[0]
   bits = ((idx[:, None] >> jnp.asarray(
       np.arange(n - 1, -1, -1), jnp.int32)) & 1)
@@ -227,8 +227,8 @@ def _sampled_term_means_one(plan, values, init_bits, key, shots,
     psi = sv.apply_circuit(rot_circuit, values, state, angle_offsets=offs)
     probs = sv.probabilities(psi)
     logits = jnp.log(jnp.maximum(probs, 1e-38))
-    idx = jax.random.categorical(jax.random.fold_in(key, gi), logits,
-                                 shape=(shots,))
+    idx = utils.categorical_indices(jax.random.fold_in(key, gi), logits,
+                                    shots)
     bits = sv.index_to_bits(idx, n).astype(jnp.int32)  # [shots, n]
     par = 1 - 2 * ((bits @ jnp.asarray(masks.T, jnp.int32)) % 2)  # [shots,Gt]
     means = jnp.mean(par.astype(jnp.float32), axis=0)

@@ -1141,9 +1141,10 @@ def probabilities(state: jnp.ndarray) -> jnp.ndarray:
 def sample_indices(key: jax.Array, state: jnp.ndarray,
                    num_samples: int) -> jnp.ndarray:
   """Draws basis-state indices from |psi|^2.  Shape [num_samples], int32."""
+  from qhbmlib_tpu import utils
   probs = probabilities(state)
   logits = jnp.log(jnp.maximum(probs, 1e-38))
-  return jax.random.categorical(key, logits, shape=(num_samples,))
+  return utils.categorical_indices(key, logits, num_samples)
 
 
 def sample_bitstrings(key: jax.Array, state: jnp.ndarray,

@@ -85,6 +85,23 @@ def expand_unique_results(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
   return jnp.take(y, idx, axis=0)
 
 
+def categorical_indices(key: jax.Array, logits: jnp.ndarray,
+                        num_samples: int) -> jnp.ndarray:
+  """`num_samples` draws from softmax(logits) by inverse-CDF binary search.
+
+  `jax.random.categorical` materializes a [num_samples, len(logits)] Gumbel
+  noise array -- 65M transcendentals for 1000 shots over a 16-qubit
+  distribution, and it dominates every sampled-engine path.  Inverse-CDF
+  costs one normalization pass over the distribution plus log2(len) gathers
+  per sample.  Returns int32 indices, shape [num_samples].
+  """
+  logits = logits.reshape(-1).astype(jnp.float32)
+  w = jnp.exp(logits - jnp.max(logits))
+  cdf = jnp.cumsum(w)
+  u = jax.random.uniform(key, (num_samples,), jnp.float32) * cdf[-1]
+  return jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+
+
 class Squeeze:
   """Callable squeeze wrapper, mirroring reference qhbmlib/utils.py:20-40."""
 
