@@ -216,6 +216,16 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
   return unapply(a), unapply(lam)
 
 
+def _barrier_bits() -> int:
+  """State size (in complex elements, log2) from which the reverse sweep
+  pins per-segment scheduling with optimization barriers.  Without them
+  XLA's list scheduler can keep every reverse-sweep state alive at once
+  (observed 75 live 2GB states at 28 qubits); below the threshold the
+  scheduler does better unconstrained."""
+  import os
+  return int(os.environ.get("QHBM_BARRIER_BITS", "24"))
+
+
 def _seq_barrier(a, lam, grad_terms, start):
   """Ties the gradient scalars produced since `start` into the (a, lam)
   dependency chain with an optimization barrier.  Without it XLA is free to
@@ -266,9 +276,9 @@ def _bwd(circuit, res, g):
               jnp.sum(jnp.conj(lam.reshape(-1)) * d_psi.reshape(-1)))
           grad_terms.append((gate.slot, gate.coeff * dangle))
         lam = _apply_inverse(gate, angle, lam)
-    if a.size >= 2**24:
-      # Barriers protect peak HBM at huge states only; at VMEM-friendly
-      # sizes they just constrain XLA's scheduler.
+    if a.size >= 2**_barrier_bits():
+      # Barriers protect peak HBM at huge states only; at smaller sizes
+      # they just constrain XLA's scheduler.
       a, lam = _seq_barrier(a, lam, grad_terms, seg_start)
   if grad_terms:
     slots = jnp.asarray([s for s, _ in grad_terms], jnp.int32)
