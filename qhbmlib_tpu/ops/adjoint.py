@@ -75,72 +75,6 @@ def _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam):
   return a * phase, lam * phase
 
 
-def _g_matrix(lam, a, q):
-  """Single-qubit reduced transition matrix G[i,j] = sum_other
-  conj(lam)[..i..] a[..j..]; dangle of any 1q operator M on qubit q is
-  2 Re sum_ij M[i,j] G[i,j]."""
-  r, c = a.shape
-  n = sv.num_qubits_of(a)
-  m = int(c).bit_length() - 1
-  nr = n - m
-  if q < nr:
-    pre = 2**q
-    lv = lam.reshape(pre, 2, -1)
-    av = a.reshape(pre, 2, -1)
-    return jnp.einsum("aib,ajb->ij", jnp.conj(lv), av)
-  pre = 2**(q - nr)
-  lv = lam.reshape(r, pre, 2, -1)
-  av = a.reshape(r, pre, 2, -1)
-  return jnp.einsum("rpiq,rpjq->ij", jnp.conj(lv), av)
-
-
-def _g_matrices(lam, a, qubits):
-  """Reduced matrices G_q for many qubits with few state passes: all MINOR
-  qubits come from one [C, C] cross contraction; MAJOR qubits batch into
-  triples whose joint reduced tensor yields three G's per pass.
-
-  Returns {q: G_q}.
-  """
-  r, c = a.shape
-  n = sv.num_qubits_of(a)
-  m = int(c).bit_length() - 1
-  nr = n - m
-  out = {}
-
-  minors = sorted(q for q in qubits if q >= nr)
-  if minors:
-    kmat = jnp.einsum("rc,rd->cd", jnp.conj(lam), a)  # [C, C]
-    for q in minors:
-      pos = q - nr
-      pre, post = 2**pos, 2**(m - pos - 1)
-      kt = kmat.reshape(pre, 2, post, pre, 2, post)
-      out[q] = jnp.einsum("aibajb->ij", kt)
-
-  majors = sorted(q for q in qubits if q < nr)
-  for i in range(0, len(majors), 3):
-    group = majors[i:i + 3]
-    if len(group) == 1:
-      out[group[0]] = _g_matrix(lam, a, group[0])
-    elif len(group) == 2:
-      q0, q1 = group
-      aa, bb = 2**q0, 2**(q1 - q0 - 1)
-      lv = jnp.conj(lam.reshape(aa, 2, bb, 2, -1))
-      av = a.reshape(aa, 2, bb, 2, -1)
-      gam = jnp.einsum("aibjc,axbyc->ijxy", lv, av)
-      out[q0] = jnp.einsum("ijxj->ix", gam)
-      out[q1] = jnp.einsum("ijiy->jy", gam)
-    else:
-      q0, q1, q2 = group
-      aa, bb, dd = 2**q0, 2**(q1 - q0 - 1), 2**(q2 - q1 - 1)
-      lv = jnp.conj(lam.reshape(aa, 2, bb, 2, dd, 2, -1))
-      av = a.reshape(aa, 2, bb, 2, dd, 2, -1)
-      gam = jnp.einsum("aibjckd,axbyczd->ijkxyz", lv, av)
-      out[q0] = jnp.einsum("ijkxjk->ix", gam)
-      out[q1] = jnp.einsum("ijkiyk->jy", gam)
-      out[q2] = jnp.einsum("ijkijz->kz", gam)
-  return out
-
-
 def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
   """Backward through a run of 1-qubit dense gates.
 

@@ -792,24 +792,6 @@ def parity_bilinear(row_masks, col_masks, p: jnp.ndarray) -> jnp.ndarray:
   return jnp.concatenate(outs)
 
 
-def apply_major_1q_packed(major_mats, state: jnp.ndarray) -> jnp.ndarray:
-  """Applies per-qubit 2x2 matrices on distinct MAJOR qubits, packed into
-  kron-combined 3-qubit blocks (one state pass per 3 qubits instead of 1).
-
-  Args:
-    major_mats: list of (qubit, 2x2 matrix), distinct qubits.
-  """
-  items = sorted(major_mats, key=lambda kv: kv[0])
-  for i in range(0, len(items), 3):
-    group = items[i:i + 3]
-    qs = tuple(q for q, _ in group)
-    mat = group[0][1]
-    for _, nxt in group[1:]:
-      mat = jnp.kron(mat, nxt)
-    state = apply_dense(mat, qs, state)
-  return state
-
-
 # Row (major) qubits are processed in contiguous blocks of up to this many
 # bits; each block's per-qubit 2x2 matrices kron-fold into ONE dense block
 # matrix applied as a single MXU contraction.  7 bits -> [128, 128] matches
