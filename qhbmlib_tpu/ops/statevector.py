@@ -48,7 +48,7 @@ COMPLEX_DTYPE = jnp.complex64
 
 # Number of qubits kept in the minor (column) dimension: 2^7 = 128 = the TPU
 # lane width, so minor-gate matmuls are exactly MXU-shaped.
-MINOR_MAX = 7
+MINOR_MAX = int(__import__("os").environ.get("QHBM_MINOR_BITS", "7"))
 
 
 def minor_bits(n: int) -> int:
