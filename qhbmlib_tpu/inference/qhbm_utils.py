@@ -19,12 +19,20 @@ def density_matrix(model: hamiltonian_model.Hamiltonian) -> np.ndarray:
   r"""Thermal state rho = U_phi P_theta U_phi^dagger of a modular
   Hamiltonian (reference qhbm_utils.py:24-59).  Returned on HOST (numpy):
   it feeds host-side metrics, and complex device arrays cannot always be
-  transferred wholesale."""
+  transferred wholesale.  The complex contraction runs under jit -- eager
+  complex ops are rejected by some accelerator backends."""
   from qhbmlib_tpu import utils
-  probs = ebm_utils.probabilities(model.energy).astype(jnp.complex64)
-  u = qnn_utils.unitary(model.circuit)
-  rho = jnp.einsum("k,ik,jk->ij", probs, u, jnp.conj(u))
-  return utils.to_host_complex(rho)
+
+  @jax.jit
+  def compute(theta, phi):
+    probs = ebm_utils.probabilities(model.energy, theta).astype(jnp.complex64)
+    u = qnn_utils.unitary(model.circuit, phi)
+    rho = jnp.einsum("k,ik,jk->ij", probs, u, jnp.conj(u))
+    return jnp.real(rho), jnp.imag(rho)
+
+  re, im = compute(list(model.energy.trainable_variables),
+                   list(model.circuit.trainable_variables))
+  return np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64)
 
 
 def fidelity(model: hamiltonian_model.Hamiltonian, sigma) -> jnp.ndarray:
@@ -36,17 +44,25 @@ def fidelity(model: hamiltonian_model.Hamiltonian, sigma) -> jnp.ndarray:
   available on every backend), and the final eigendecomposition runs on
   host (metrics-only; never differentiated).
   """
-  from qhbmlib_tpu import utils
   sigma = np.asarray(sigma, np.complex128)
   sig_re = jnp.asarray(np.real(sigma), jnp.float32)
   sig_im = jnp.asarray(np.imag(sigma), jnp.float32)
-  k_theta = ebm_utils.probabilities(model.energy).astype(jnp.complex64)
-  u_phi = qnn_utils.unitary(model.circuit)
-  sig = (sig_re + 1j * sig_im).astype(jnp.complex64)
-  sqrt_k = jnp.sqrt(k_theta)
-  omega = jnp.einsum("a,ab,bc,cd,d->ad", sqrt_k, jnp.conj(u_phi.T), sig,
-                     u_phi, sqrt_k)
-  d_omega = np.linalg.eigvalsh(
-      np.asarray(utils.to_host_complex(omega), np.complex128))
+
+  @jax.jit
+  def omega_parts(theta, phi, s_re, s_im):
+    k_theta = ebm_utils.probabilities(model.energy, theta).astype(
+        jnp.complex64)
+    u_phi = qnn_utils.unitary(model.circuit, phi)
+    sig = (s_re + 1j * s_im).astype(jnp.complex64)
+    sqrt_k = jnp.sqrt(k_theta)
+    omega = jnp.einsum("a,ab,bc,cd,d->ad", sqrt_k, jnp.conj(u_phi.T), sig,
+                       u_phi, sqrt_k)
+    return jnp.real(omega), jnp.imag(omega)
+
+  o_re, o_im = omega_parts(list(model.energy.trainable_variables),
+                           list(model.circuit.trainable_variables),
+                           sig_re, sig_im)
+  omega = (np.asarray(o_re, np.float64) + 1j * np.asarray(o_im, np.float64))
+  d_omega = np.linalg.eigvalsh(omega.astype(np.complex128))
   d_omega = np.maximum(np.real(d_omega), 0.0)
   return jnp.asarray(np.sum(np.sqrt(d_omega))**2, jnp.float32)

@@ -1136,10 +1136,14 @@ def sample_bitstrings(key: jax.Array, state: jnp.ndarray,
   return index_to_bits(sample_indices(key, state, num_samples), n)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def unitary(circuit: ir.Circuit, symbol_values: jnp.ndarray) -> jnp.ndarray:
   """Dense (2^n, 2^n) unitary; metrics-only path (small n).
 
   Replaces `tfq.layers.Unitary` (reference: qhbmlib/inference/qnn_utils.py:29-33).
+  Jitted (circuit static) so metric code can call it eagerly: dispatching
+  the column sweeps op-by-op would run complex ops outside XLA, which some
+  accelerator backends reject.
   """
   n = circuit.num_qubits
   dim = 2**n
