@@ -327,23 +327,36 @@ def _chunked(bits: jnp.ndarray, chunk: int):
   return bits.reshape(-1, chunk, n), pad
 
 
+# Store forward states as VJP residuals (skipping the backward's forward
+# recompute) while the whole batch of states fits in this much HBM.
+_PSI_RESIDUAL_BYTES = 1 << 30
+
+
+def _store_psi(num_qubits: int, batch: int) -> bool:
+  return batch * 8 * (2**num_qubits) <= _PSI_RESIDUAL_BYTES
+
+
 def _bt_fwd(circuit, hop, batch_chunk, symbol_values, init_bits):
   op = hop.ones()
   n = circuit.num_qubits
 
   def one(bits):
     psi = sv.apply_circuit(circuit, symbol_values, sv.basis_state(n, bits))
-    return sv.expectation_terms(psi, op)
+    return sv.expectation_terms(psi, op), psi
 
   batch = init_bits.shape[0]
   chunks, _ = _chunked(init_bits, batch_chunk)
-  out = jax.lax.map(jax.vmap(one), chunks)
+  if _store_psi(n, batch):
+    out, psis = jax.lax.map(jax.vmap(one), chunks)
+    out = out.reshape(-1, op.num_terms)[:batch]
+    return out, (symbol_values, init_bits, psis)
+  out = jax.lax.map(jax.vmap(lambda b: one(b)[0]), chunks)
   out = out.reshape(-1, op.num_terms)[:batch]
-  return out, (symbol_values, init_bits)
+  return out, (symbol_values, init_bits, None)
 
 
 def _bt_bwd(circuit, hop, batch_chunk, res, g):
-  symbol_values, init_bits = res
+  symbol_values, init_bits, psis = res
   op = hop.ones()
   n = circuit.num_qubits
   batch = init_bits.shape[0]
@@ -352,10 +365,21 @@ def _bt_bwd(circuit, hop, batch_chunk, res, g):
       [g, jnp.zeros([pad, g.shape[1]], g.dtype)], axis=0) if pad else g
   g_chunks = g_pad.reshape(-1, batch_chunk, g.shape[1])
 
-  def one(bits, gg):
-    psi = sv.apply_circuit(circuit, symbol_values, sv.basis_state(n, bits))
+  def one(bits, gg, psi=None):
+    if psi is None:
+      psi = sv.apply_circuit(circuit, symbol_values, sv.basis_state(n, bits))
     grad, _, _ = _bwd(circuit, (symbol_values, psi, op), gg)
     return grad
+
+  if psis is not None:
+    def body(acc, xs):
+      bits_c, g_c, psi_c = xs
+      grads = jax.vmap(one)(bits_c, g_c, psi_c)  # [chunk, num_symbols]
+      return acc + jnp.sum(grads, axis=0), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros_like(symbol_values),
+                            (chunks, g_chunks, psis))
+    return total, None
 
   def body(acc, xs):
     bits_c, g_c = xs
