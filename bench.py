@@ -139,7 +139,7 @@ def main():
   base = cpu_baseline()
   vs = sps / base if base == base and base > 0 else None
   print(json.dumps({
-      "metric": "vqt_train_steps_per_sec_20q",
+      "metric": f"vqt_train_steps_per_sec_{N_QUBITS}q",
       "value": round(sps, 4),
       "unit": "steps/s",
       "vs_baseline": round(vs, 2) if vs is not None else None,
