@@ -1,17 +1,26 @@
 #!/usr/bin/env python
-"""Headline benchmark: VQT train steps/sec at 20 qubits (BASELINE.md).
+"""Headline benchmark: VQT train steps/sec at 24 qubits (BASELINE.md).
 
-Workload: 20-qubit 1D TFIM thermal state, Bernoulli EBM (500 expectation
-samples, unique support capped at 64 count-weighted bitstrings), 4-layer
-hardware-efficient ansatz, full train step = EBM sampling + VQT loss with
-eq. A5 score-function + adjoint gradients + Adam update, all inside one jit.
+BASELINE.md's throughput target is ">=10x qsim-CPU VQT step throughput at
+24 qubits"; the headline metric is therefore the 24-qubit rung, with the
+20-qubit companion number and the measured compute rate (FLOPs from the
+compiled executable's cost analysis) reported in "extra".
 
-The baseline denominator is the same workload on CPU (one process with
+Workloads (full train step = EBM sampling + VQT loss with eq. A5
+score-function + adjoint gradients + Adam update, all inside one jit):
+
+  * 24q: 1D TFIM, Bernoulli EBM (100 samples, 8 unique states), 2-layer
+    hardware-efficient ansatz -- benchmarks/ladder.py rung r4 shapes.
+  * 20q: 1D TFIM, Bernoulli EBM (500 samples, 64 unique states), 4-layer
+    ansatz -- the round-1 headline, kept for continuity.
+
+The baseline denominator is the same workload on CPU (one subprocess with
 JAX_PLATFORMS=cpu) as a proxy for the reference's qsim-CPU backend -- the
-reference publishes no numbers (BASELINE.md).  The CPU measurement is cached
-in bench_baseline_cpu.json so repeated bench runs stay fast.
+reference publishes no numbers (BASELINE.md).  CPU measurements are cached
+per-workload in bench_baseline_cpu.json (the 24q CPU run alone takes ~10
+minutes at ~0.007 steps/s).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -20,21 +29,39 @@ import subprocess
 import sys
 import time
 
-# Env overrides support small smoke runs (e.g. QHBM_BENCH_QUBITS=8 on CPU).
-N_QUBITS = int(os.environ.get("QHBM_BENCH_QUBITS", 20))
-NUM_LAYERS = int(os.environ.get("QHBM_BENCH_LAYERS", 4))
-NUM_SAMPLES = int(os.environ.get("QHBM_BENCH_SAMPLES", 500))
-MAX_UNIQUE = int(os.environ.get("QHBM_BENCH_MAX_UNIQUE", 64))
 BETA = 1.2
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_baseline_cpu.json")
+
+# MXU contraction mode for the benchmark (ADVICE r1: report it).  The
+# library default is the 3-pass 'high' mode (~5e-4 relative gradient
+# error); the benchmark opts into 1-pass bf16 'default' (9e-3 relative,
+# 1.27x faster; the VQT loss trajectory is indistinguishable at these
+# workloads -- benchmarks/RESULTS.md).  CPU runs are exact f32 regardless.
+PRECISION = os.environ.get("QHBM_MATMUL_PRECISION", "default")
+
+WORKLOADS = {
+    "24q": dict(n=24, layers=2, samples=100, max_unique=8),
+    "20q": dict(n=20, layers=4, samples=500, max_unique=64),
+}
+
+
+def _env_workload():
+  """Env overrides define an ad-hoc single workload (smoke runs)."""
+  if "QHBM_BENCH_QUBITS" not in os.environ:
+    return None
+  return dict(
+      n=int(os.environ["QHBM_BENCH_QUBITS"]),
+      layers=int(os.environ.get("QHBM_BENCH_LAYERS", 2)),
+      samples=int(os.environ.get("QHBM_BENCH_SAMPLES", 100)),
+      max_unique=int(os.environ.get("QHBM_BENCH_MAX_UNIQUE", 8)))
 
 
 def log(msg):
   print(msg, file=sys.stderr, flush=True)
 
 
-def run_workload(measure_steps: int) -> float:
+def build_train_step(cfg):
   import jax
   import jax.numpy as jnp
   import optax
@@ -44,15 +71,16 @@ def run_workload(measure_steps: int) -> float:
   from qhbmlib_tpu.models import circuit_utils
   from qhbmlib_tpu.ops import paulis
 
-  n = N_QUBITS
+  n = cfg["n"]
   terms = [(-1.0, {q: "X"}) for q in range(n)]
   terms += [(-1.0, {q: "Z", q + 1: "Z"}) for q in range(n - 1)]
   target = paulis.pauli_sum_from_strings(n, terms)
 
   energy = models.BernoulliEnergy(list(range(n)))
-  e_inf = ebm.BernoulliEnergyInference(energy, NUM_SAMPLES, initial_seed=11,
-                                       max_unique_samples=MAX_UNIQUE)
-  pqc = circuit_utils.hardware_efficient_ansatz(n, NUM_LAYERS)
+  e_inf = ebm.BernoulliEnergyInference(energy, cfg["samples"],
+                                       initial_seed=11,
+                                       max_unique_samples=cfg["max_unique"])
+  pqc = circuit_utils.hardware_efficient_ansatz(n, cfg["layers"])
   circuit = models.DirectQuantumCircuit(pqc)
   q_inf = qnn.AnalyticQuantumInference(circuit)
   h = qhbm.QHBM(e_inf, q_inf)
@@ -74,14 +102,36 @@ def run_workload(measure_steps: int) -> float:
     params = optax.apply_updates(params, updates)
     return loss, params, opt_state
 
+  return train_step, params, opt_state
+
+
+def measure_flops(train_step, params, opt_state, key):
+  """Per-step FLOPs from the compiled executable's cost analysis (f32-
+  equivalent ops as counted by XLA); None when the backend won't say."""
+  try:
+    compiled = train_step.lower(params, opt_state, key).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+      cost = cost[0] if cost else {}
+    flops = cost.get("flops")
+    return float(flops) if flops else None
+  except Exception as e:  # pragma: no cover - backend-specific
+    log(f"[bench] cost_analysis unavailable: {e}")
+    return None
+
+
+def run_workload(name, cfg, measure_steps):
+  import jax
+
+  train_step, params, opt_state = build_train_step(cfg)
   key = jax.random.PRNGKey(0)
-  log(f"[bench] devices: {jax.devices()}")
+  log(f"[bench:{name}] devices: {jax.devices()}")
   t0 = time.perf_counter()
   key, sub = jax.random.split(key)
   loss, params, opt_state = train_step(params, opt_state, sub)
   loss.block_until_ready()
-  log(f"[bench] compile + first step: {time.perf_counter() - t0:.2f}s, "
-      f"loss={float(loss):.4f}")
+  log(f"[bench:{name}] compile + first step: "
+      f"{time.perf_counter() - t0:.2f}s, loss={float(loss):.4f}")
 
   t0 = time.perf_counter()
   for _ in range(measure_steps):
@@ -90,59 +140,97 @@ def run_workload(measure_steps: int) -> float:
   loss.block_until_ready()
   dt = time.perf_counter() - t0
   sps = measure_steps / dt
-  log(f"[bench] {measure_steps} steps in {dt:.2f}s -> {sps:.4f} steps/s "
-      f"(final loss {float(loss):.4f})")
-  return sps
+  log(f"[bench:{name}] {measure_steps} steps in {dt:.2f}s -> "
+      f"{sps:.4f} steps/s (final loss {float(loss):.4f})")
+  flops = measure_flops(train_step, params, opt_state, sub)
+  return sps, flops
 
 
-def _config():
-  return dict(n=N_QUBITS, layers=NUM_LAYERS, samples=NUM_SAMPLES,
-              max_unique=MAX_UNIQUE)
-
-
-def cpu_baseline() -> float:
+def cpu_baseline(name, cfg):
+  cache = {}
   if os.path.exists(CACHE_PATH):
     with open(CACHE_PATH) as f:
-      cached = json.load(f)
-    if cached.get("config") == _config():
-      log(f"[bench] using cached CPU baseline: {cached['steps_per_sec']:.4f}")
-      return cached["steps_per_sec"]
-  log("[bench] measuring CPU baseline (subprocess, one-time)...")
-  env = dict(os.environ, JAX_PLATFORMS="cpu")
+      cache = json.load(f)
+  entry = cache.get(name)
+  if entry and entry.get("config") == cfg:
+    log(f"[bench:{name}] cached CPU baseline: "
+        f"{entry['steps_per_sec']:.4f} steps/s")
+    return entry["steps_per_sec"]
+  log(f"[bench:{name}] measuring CPU baseline (subprocess, one-time)...")
+  env = dict(os.environ, JAX_PLATFORMS="cpu",
+             QHBM_BENCH_QUBITS=str(cfg["n"]),
+             QHBM_BENCH_LAYERS=str(cfg["layers"]),
+             QHBM_BENCH_SAMPLES=str(cfg["samples"]),
+             QHBM_BENCH_MAX_UNIQUE=str(cfg["max_unique"]))
   out = subprocess.run([sys.executable, os.path.abspath(__file__),
                         "--cpu-child"], env=env, capture_output=True,
-                       text=True, timeout=3600)
+                       text=True, timeout=7200)
   if out.returncode != 0:
-    log(f"[bench] CPU baseline failed:\n{out.stderr[-2000:]}")
+    log(f"[bench:{name}] CPU baseline failed:\n{out.stderr[-2000:]}")
     return float("nan")
   result = json.loads(out.stdout.strip().splitlines()[-1])
-  result["config"] = _config()
+  cache[name] = {"config": cfg, "steps_per_sec": result["steps_per_sec"]}
   with open(CACHE_PATH, "w") as f:
-    json.dump(result, f)
+    json.dump(cache, f, indent=1)
   return result["steps_per_sec"]
 
 
+def _ratio(sps, base):
+  return round(sps / base, 2) if base == base and base > 0 else None
+
+
+def _force_cpu():
+  """`JAX_PLATFORMS=cpu` is IGNORED when an accelerator plugin is present
+  (see .claude/skills/verify/SKILL.md); the config update before backend
+  init is the reliable mechanism."""
+  import jax
+  jax.config.update("jax_platforms", "cpu")
+
+
 def main():
-  # Benchmark configuration: 1-pass-bf16 MXU contractions.  The library
-  # default is the 3-pass 'high' mode (gradient error 5e-4 relative); the
-  # fast mode trades that for 1.27x step throughput at 9e-3 relative
-  # gradient error, and the VQT loss trajectory is indistinguishable at
-  # this workload (see benchmarks/RESULTS.md).  CPU runs are exact f32
-  # regardless, so the baseline denominator is unaffected.
-  os.environ.setdefault("QHBM_MATMUL_PRECISION", "default")
+  os.environ.setdefault("QHBM_MATMUL_PRECISION", PRECISION)
   if "--cpu-child" in sys.argv:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    sps = run_workload(measure_steps=2)
+    _force_cpu()
+    cfg = _env_workload() or WORKLOADS["24q"]
+    sps, _ = run_workload(f"{cfg['n']}q-cpu", cfg, measure_steps=2)
     print(json.dumps({"steps_per_sec": sps}))
     return
-  sps = run_workload(measure_steps=8)
-  base = cpu_baseline()
-  vs = sps / base if base == base and base > 0 else None
+
+  smoke = _env_workload()
+  if smoke is not None:
+    name = f"{smoke['n']}q"
+    sps, flops = run_workload(name, smoke, measure_steps=8)
+    base = cpu_baseline(name, smoke)
+    print(json.dumps({
+        "metric": f"vqt_train_steps_per_sec_{name}",
+        "value": round(sps, 4),
+        "unit": "steps/s",
+        "vs_baseline": _ratio(sps, base),
+        "extra": {"matmul_precision": PRECISION},
+    }))
+    return
+
+  sps24, flops24 = run_workload("24q", WORKLOADS["24q"], measure_steps=8)
+  sps20, _ = run_workload("20q", WORKLOADS["20q"], measure_steps=8)
+  base24 = cpu_baseline("24q", WORKLOADS["24q"])
+  base20 = cpu_baseline("20q", WORKLOADS["20q"])
+
+  extra = {
+      "steps_per_sec_20q": round(sps20, 4),
+      "vs_baseline_20q": _ratio(sps20, base20),
+      "matmul_precision": PRECISION,
+  }
+  if flops24:
+    tflops = flops24 * sps24 / 1e12
+    extra["flops_per_step_24q"] = flops24
+    extra["measured_tflops_24q"] = round(tflops, 2)
+
   print(json.dumps({
-      "metric": f"vqt_train_steps_per_sec_{N_QUBITS}q",
-      "value": round(sps, 4),
+      "metric": "vqt_train_steps_per_sec_24q",
+      "value": round(sps24, 4),
       "unit": "steps/s",
-      "vs_baseline": round(vs, 2) if vs is not None else None,
+      "vs_baseline": _ratio(sps24, base24),
+      "extra": extra,
   }))
 
 

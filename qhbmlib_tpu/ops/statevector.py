@@ -250,7 +250,7 @@ def apply_dense(mat: jnp.ndarray, qubits: Tuple[int, ...],
     # All gate qubits in the minor dimension: one MXU matmul.
     pos = tuple(q - nr for q in qubits)
     big = _embed_minor_mat(mat, pos, m)
-    return state @ big.T
+    return jnp.matmul(state, big.T, precision=matmul_precision())
 
   if not minors:
     if len(qubits) == 1:
@@ -294,7 +294,8 @@ def apply_dense(mat: jnp.ndarray, qubits: Tuple[int, ...],
     acc = None
     for j in (0, 1):
       emb = _embed_minor_mat(mt[i, :, j, :], (u_pos,), m)
-      contrib = jnp.einsum("cd,abd->abc", emb, view[:, j])
+      contrib = jnp.einsum("cd,abd->abc", emb, view[:, j],
+                           precision=matmul_precision())
       acc = contrib if acc is None else acc + contrib
     outs.append(acc)
   out = jnp.stack(outs, axis=1)
@@ -488,7 +489,8 @@ def major_transition(state: jnp.ndarray, bin_qubits,
   k = len(bin_qubits)
   view = _major_view(state, bin_qubits, keep_cols)
   prog = (_TRANS_FULL if keep_cols else _TRANS_PURE)[k]
-  return jnp.einsum(prog, jnp.conj(view), view)
+  return jnp.einsum(prog, jnp.conj(view), view,
+                    precision=matmul_precision())
 
 
 def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
@@ -774,7 +776,8 @@ def parity_outer_sum(coeffs, row_masks, col_masks, shape_rc) -> jnp.ndarray:
     if jnp.iscomplexobj(w):
       s_r = s_r.astype(w.dtype)
       s_c = s_c.astype(w.dtype)
-    part = (s_r * w[:, None]).T @ s_c
+    part = jnp.matmul((s_r * w[:, None]).T, s_c,
+                      precision=matmul_precision())
     total = part if total is None else total + part
   return total
 
@@ -787,8 +790,8 @@ def parity_bilinear(row_masks, col_masks, p: jnp.ndarray) -> jnp.ndarray:
   for i in range(0, len(row_masks), ck):
     s_r = _sign_rows(row_masks[i:i + ck], r)
     s_c = jnp.asarray(_sign_cols(col_masks[i:i + ck], c))
-    w = p @ s_c.T  # [R, Kc]
-    outs.append(jnp.einsum("kr,rk->k", s_r, w))
+    w = jnp.matmul(p, s_c.T, precision=matmul_precision())  # [R, Kc]
+    outs.append(jnp.einsum("kr,rk->k", s_r, w, precision=matmul_precision()))
   return jnp.concatenate(outs)
 
 
@@ -955,10 +958,11 @@ def apply_circuit(circuit: ir.Circuit,
   differentiator to shift individual gate occurrences.  `fuse` enables
   trace-time gate fusion (see _apply_1q_segment / _apply_diag_segment).
 
-  On TPU lowerings, supported circuits dispatch to the whole-circuit Pallas
-  kernel (state stays VMEM-resident across every gate; one HBM round trip
-  total) via `lax.platform_dependent`; other platforms and unsupported
-  circuits take the segment-fused JAX path below.
+  The default production path on every platform is the segment-fused XLA
+  path below.  An experimental whole-circuit Pallas kernel (state
+  VMEM-resident across all gates) exists behind QHBM_PALLAS=1 for supported
+  circuits on TPU lowerings; it is off by default because the XLA path
+  measured faster (see ops/pallas_sv.py's module docstring).
   """
   if (fuse and angle_offsets is None and _pallas_forward_enabled()):
     from qhbmlib_tpu.ops import pallas_sv

@@ -99,7 +99,11 @@ def categorical_indices(key: jax.Array, logits: jnp.ndarray,
   w = jnp.exp(logits - jnp.max(logits))
   cdf = jnp.cumsum(w)
   u = jax.random.uniform(key, (num_samples,), jnp.float32) * cdf[-1]
-  return jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+  # uniform() < 1, but u = uniform*cdf[-1] can ROUND UP to exactly cdf[-1]
+  # (float32 ulp at large totals), where side="right" would return len(cdf);
+  # clamp into range.
+  idx = jnp.searchsorted(cdf, u, side="right")
+  return jnp.minimum(idx, cdf.shape[0] - 1).astype(jnp.int32)
 
 
 class Squeeze:

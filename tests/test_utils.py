@@ -70,6 +70,46 @@ def test_unique_bitstrings_under_jit():
   np.testing.assert_allclose(got, (2 * 0 + 1 * 3) / 3, rtol=1e-6)
 
 
+def test_categorical_indices_distribution():
+  """Empirical frequencies of the inverse-CDF sampler match softmax(logits);
+  zero-mass categories are never drawn; indices stay in range."""
+  logits = jnp.asarray([0.0, 1.0, -jnp.inf, 2.0, -1.0], jnp.float32)
+  probs = np.asarray(jax.nn.softmax(logits))
+  n = 200_000
+  idx = np.asarray(
+      utils.categorical_indices(jax.random.PRNGKey(5), logits, n))
+  assert idx.min() >= 0 and idx.max() < logits.shape[0]
+  freq = np.bincount(idx, minlength=logits.shape[0]) / n
+  assert freq[2] == 0.0  # zero-probability category never drawn
+  np.testing.assert_allclose(freq, probs, atol=5e-3)
+
+
+def test_categorical_indices_cdf_boundary():
+  """u rounding up to exactly cdf[-1] must clamp to the last index, not
+  index past the end (float32 ulp at large unnormalized totals)."""
+  # Large positive logits make cdf[-1] big enough that uniform*cdf[-1]
+  # can round to cdf[-1]; regardless, indices must stay in range.
+  logits = jnp.full((7,), 25.0, jnp.float32)
+  for seed in range(8):
+    idx = np.asarray(
+        utils.categorical_indices(jax.random.PRNGKey(seed), logits, 4096))
+    assert idx.min() >= 0 and idx.max() < 7
+  # Uniform logits should draw every category.
+  assert len(np.unique(idx)) == 7
+
+
+def test_categorical_indices_under_jit():
+  logits = jnp.asarray([0.5, -0.5, 1.5], jnp.float32)
+
+  @jax.jit
+  def draw(key):
+    return utils.categorical_indices(key, logits, 64)
+
+  idx = np.asarray(draw(jax.random.PRNGKey(0)))
+  assert idx.shape == (64,) and idx.dtype == np.int32
+  assert idx.min() >= 0 and idx.max() < 3
+
+
 def test_to_host_complex():
   z = jnp.asarray([[1.0 + 2.0j, -3.0j]], jnp.complex64)
   out = utils.to_host_complex(z)
