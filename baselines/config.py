@@ -61,8 +61,10 @@ def get_config():
   training.num_inner_steps = 100
   training.num_samples = 500
   training.seq_init = "prev"  # 'prev' | 'random'
+  training.resume = True  # restore finished data points from checkpoints
   training.info_matrix_reg = 1.0
   training.info_matrix_eigval_reg = True
+  training.lstsq_fast = False
   training.lstsq_l2_regularizer = 1e-2
   training.euclidean_div_factor = 0.5
   config.training = training

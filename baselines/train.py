@@ -395,11 +395,18 @@ def train_model(qhbm_obj: qhbm.QHBM,
       reg = jnp.asarray(config.training.info_matrix_reg, jnp.float32)
     reg_im = im + reg * jnp.eye(im.shape[0])
     flat_grads, unravel = ravel_pytree(grads)
-    # Regularized least-squares solve (the reference's tf.linalg.lstsq with
-    # l2_regularizer), via the normal equations.
-    l2 = config.training.lstsq_l2_regularizer
-    lhs = reg_im.T @ reg_im + l2 * jnp.eye(reg_im.shape[0])
-    nat_flat = jnp.linalg.solve(lhs, reg_im.T @ flat_grads)
+    # Least-squares solve matching tf.linalg.lstsq's two modes (reference
+    # train.py:326-331, config lstsq_fast default False):
+    #   fast=False -> orthogonal least squares (SVD minimum-norm solution;
+    #     the l2 regularizer is IGNORED, as in TF);
+    #   fast=True  -> Cholesky-style normal equations with l2 regularizer
+    #     (squares the condition number; cheaper).
+    if config.training.get("lstsq_fast", False):
+      l2 = config.training.lstsq_l2_regularizer
+      lhs = reg_im.T @ reg_im + l2 * jnp.eye(reg_im.shape[0])
+      nat_flat = jnp.linalg.solve(lhs, reg_im.T @ flat_grads)
+    else:
+      nat_flat = jnp.linalg.lstsq(reg_im, flat_grads)[0]
     nat_grads = unravel(nat_flat)
     updates, o = optimizer.update(nat_grads, o, p)
     return (loss, grads, optax.apply_updates(p, updates), o, new_state,
@@ -659,6 +666,27 @@ def run_experiment(config, output_dir: str, seed: int = 42):
               target_hamiltonian_shards, config, "qhbm",
               seed=seed + trial + 1000 * sequence_step)
 
+        # Advance the key stream BEFORE the resume check so a resumed run
+        # replays the same per-data-point keys as an uninterrupted one.
+        key, k_train = jax.random.split(key)
+        ckpt_dir = os.path.join(
+            os.path.abspath(results_dir), "checkpoints", data_point_label,
+            f"trial_{trial}")
+
+        # Kill-and-resume: a finished data point's checkpoint short-circuits
+        # its training; the restored parameters seed the next sequence step
+        # (QVARTZ re-enters at the first unfinished data point).  The
+        # reference has no persistence at all (SURVEY.md section 5).
+        if (checkpointer is not None and config.training.get("resume", True)
+            and os.path.isdir(ckpt_dir)):
+          template = jax.tree_util.tree_map(np.asarray, qhbm_obj.params)
+          restored = checkpointer.restore(ckpt_dir, item=template)
+          prev_params = jax.tree_util.tree_map(jnp.asarray, restored)
+          qhbm_obj.set_params(prev_params)
+          print(f"[{data_point_label}] trial {trial}: restored checkpoint, "
+                "skipping training")
+          continue
+
         model_label = f"train_model_trial_{trial}"
         model_dir = os.path.join(results_dir, "metrics", data_point_label,
                                  model_label)
@@ -667,7 +695,6 @@ def run_experiment(config, output_dir: str, seed: int = 42):
         t0 = time.time()
         num_steps = (config.training.init_steps if sequence_step == 0 else
                      config.training.num_steps)
-        key, k_train = jax.random.split(key)
         prev_params = train_model(
             qhbm_obj, modular_hamiltonian, optimizer, num_steps,
             target_hamiltonian_shards, target_dm, model_dir, writer, config,
@@ -682,9 +709,6 @@ def run_experiment(config, output_dir: str, seed: int = 42):
               f"{(time.time() - t0) / 60.0:.2f} min")
 
         if checkpointer is not None:
-          ckpt_dir = os.path.join(
-              os.path.abspath(results_dir), "checkpoints", data_point_label,
-              f"trial_{trial}")
           checkpointer.save(ckpt_dir,
                             jax.tree_util.tree_map(np.asarray, prev_params),
                             force=True)

@@ -27,6 +27,7 @@ from qhbmlib_tpu import models, nn, parallel
 from qhbmlib_tpu.inference import ebm, qhbm, qmhl_loss, qnn, vqt_loss
 from qhbmlib_tpu.models import circuit_utils
 from qhbmlib_tpu.ops import paulis
+from qhbmlib_tpu.parallel import mesh as mesh_lib
 
 
 def _tfim(n, h=1.0, j=1.0):
@@ -137,11 +138,20 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None):
         max_unique_samples=4 if not smoke else None)
     circuit = models.DirectQuantumCircuit(
         circuit_utils.hardware_efficient_ansatz(n, 1 if smoke else 2))
-    q_inf = qnn.SampledQuantumInference(circuit, shots)
+    # Multi-device: the unique-state batch and every parameter-shift
+    # evaluation split over a 'data' mesh (bit-identical to single-device).
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+      mesh = parallel.make_mesh(data=n_dev, state=1)
+      q_inf = parallel.ShardedSampledQuantumInference(circuit, shots, mesh,
+                                                      initial_seed=3)
+    else:
+      q_inf = qnn.SampledQuantumInference(circuit, shots, initial_seed=3)
     h = qhbm.QHBM(e_inf, q_inf)
     step, params, opt_state = _vqt_step(h, _tfim(n), 1.0, opt)
     return step, params, opt_state, None, {"n": n, "loss": "vqt",
-                                           "grad": "parameter-shift"}
+                                           "grad": "parameter-shift",
+                                           "data_shards": n_dev}
 
   if name == "r4_tfim24_sharded_vqt":
     n = size(24, 8)
@@ -164,27 +174,48 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None):
 
   if name == "r5_gwg28_qmhl":
     n = size(28, 8)
+    # The spec size (28 qubits, BASELINE.json configs[4]) needs several live
+    # 2GB statevectors -- beyond one 16GB v5e chip.  With >1 device the rung
+    # shards every statevector over a 'state' mesh axis (ICI partner
+    # exchanges, parallel/sharded_sv.py) and spreads the GWG chains over the
+    # same devices; on one device it falls back to the dense engine.
+    devices = jax.devices()
+    state = 1
+    while state * 2 <= len(devices):
+      state *= 2
     energy = models.KOBE(list(range(n)), 2)
-    e_inf = ebm.GibbsWithGradientsInference(
-        energy, 32, num_burnin_samples=4 if smoke else 32,
-        num_chains=8, max_unique_samples=4, initial_seed=5)
     circuit = models.DirectQuantumCircuit(
         circuit_utils.hardware_efficient_ansatz(n, 1))
-    q_inf = qnn.AnalyticQuantumInference(circuit)
-    h = qhbm.QHBM(e_inf, q_inf)
-    # Data: a fixed random QHBM at the same size (sampling-based source).
     d_energy = models.BernoulliEnergy(list(range(n)),
                                       nn.RandomNormal(0.0, 0.3, seed=11))
-    d_e_inf = ebm.BernoulliEnergyInference(d_energy, 32, initial_seed=6,
-                                           max_unique_samples=4)
     d_circuit = models.DirectQuantumCircuit(
         circuit_utils.hardware_efficient_ansatz(n, 1, name="data_p"))
-    d_q_inf = qnn.AnalyticQuantumInference(d_circuit)
+    burnin = 4 if smoke else 32
+    if state > 1:
+      mesh = parallel.make_mesh(data=1, state=state,
+                                devices=devices[:state])
+      e_inf = parallel.ShardedGibbsWithGradientsInference(
+          energy, 32, burnin, mesh, chains_axis=mesh_lib.STATE_AXIS,
+          num_chains=8, max_unique_samples=4, initial_seed=5)
+      q_inf = parallel.ShardedQuantumInference(circuit, mesh, data_axis=None)
+      d_q_inf = parallel.ShardedQuantumInference(d_circuit, mesh,
+                                                 data_axis=None)
+    else:
+      e_inf = ebm.GibbsWithGradientsInference(
+          energy, 32, num_burnin_samples=burnin,
+          num_chains=8, max_unique_samples=4, initial_seed=5)
+      q_inf = qnn.AnalyticQuantumInference(circuit)
+      d_q_inf = qnn.AnalyticQuantumInference(d_circuit)
+    h = qhbm.QHBM(e_inf, q_inf)
+    # Data: a fixed random QHBM at the same size (sampling-based source).
+    d_e_inf = ebm.BernoulliEnergyInference(d_energy, 32, initial_seed=6,
+                                           max_unique_samples=4)
     data = data_module.QHBMData(qhbm.QHBM(d_e_inf, d_q_inf))
     step, params, opt_state = _qmhl_step(data, h, opt)
     ebm_state = (None, e_inf.chain_state)
     return step, params, opt_state, ebm_state, {"n": n, "loss": "qmhl",
-                                                "ebm": "gwg"}
+                                                "ebm": "gwg",
+                                                "state_shards": state}
 
   raise ValueError(f"unknown rung {name!r}")
 

@@ -239,29 +239,31 @@ def _sampled_term_means_one(plan, values, init_bits, key, shots,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _sampled_term_means(plan, pqc: ir.Circuit, shots: int,
                         values: jnp.ndarray, init_bits: jnp.ndarray,
-                        key: jax.Array) -> jnp.ndarray:
+                        keys: jax.Array) -> jnp.ndarray:
   """Sampled per-term expectations [B, T] with parameter-shift gradients.
 
   `plan` is a static (groups, num_terms) measurement plan (see
   `_group_terms`).  Coefficients are applied OUTSIDE so their gradients flow
-  through plain autodiff.
+  through plain autodiff.  `keys` carries ONE key per initial state ([B]
+  leading axis): per-state keys (rather than one key split inside) keep the
+  batch axis slice-able, so the sharded wrapper (parallel/sampled_sharded.py)
+  produces bit-identical results to the single-device path.
   """
   def one(bits, k):
     return _sampled_term_means_one(plan, values, bits, k, shots)
 
-  keys = jax.random.split(key, init_bits.shape[0])
   return jax.vmap(one)(init_bits, keys)
 
 
-def _stm_fwd(plan, pqc, shots, values, init_bits, key):
-  out = _sampled_term_means(plan, pqc, shots, values, init_bits, key)
-  return out, (values, init_bits, key)
+def _stm_fwd(plan, pqc, shots, values, init_bits, keys):
+  out = _sampled_term_means(plan, pqc, shots, values, init_bits, keys)
+  return out, (values, init_bits, keys)
 
 
 def _stm_bwd(plan, pqc, shots, res, g):
   """Parameter-shift backward: fresh shots per shifted evaluation, mirroring
   the reference's re-sampled gradient circuits (reference qnn.py:189-234)."""
-  values, init_bits, key = res
+  values, init_bits, keys = res
   offsets, weights, slots = shift.shift_plan(pqc)
   num_symbols = values.shape[0]
   if offsets.shape[0] == 0:
@@ -269,10 +271,9 @@ def _stm_bwd(plan, pqc, shots, res, g):
 
   def eval_one(offset_row, r):
     def per_state(bits, k):
-      return _sampled_term_means_one(plan, values, bits, k, shots,
+      return _sampled_term_means_one(plan, values, bits,
+                                     jax.random.fold_in(k, r + 1), shots,
                                      angle_offsets=offset_row)
-    keys = jax.random.split(jax.random.fold_in(key, r + 1),
-                            init_bits.shape[0])
     return jax.vmap(per_state)(init_bits, keys)  # [B, T]
 
   evals = jax.vmap(eval_one)(jnp.asarray(offsets),
@@ -346,6 +347,19 @@ class SampledQuantumInference(QuantumInference):
                                          key=self._next_key())
     return utils.expand_unique_results(unique_exp, idx)
 
+  def _run_term_means(self, plan, pqc, values, bits, keys):
+    """Dispatch hook: subclasses (parallel/sampled_sharded.py) shard the
+    batch axis over a mesh; semantics are identical."""
+    return _sampled_term_means(plan, pqc, self.expectation_samples, values,
+                               bits, keys)
+
+  def _run_energy_expectation(self, pqc, energy_apply, values, energy_params,
+                              bits, keys):
+    """Dispatch hook for the general-BitstringEnergy observable path."""
+    return _sampled_energy_expectation(pqc, self.expectation_samples,
+                                       energy_apply, values, energy_params,
+                                       bits, keys)
+
   def expectation_pure(self,
                        phi,
                        initial_states,
@@ -356,6 +370,7 @@ class SampledQuantumInference(QuantumInference):
     if key is None:
       key = self._next_key()
     bits = jnp.asarray(initial_states)
+    keys = jax.random.split(key, bits.shape[0])
     if isinstance(observables, hamiltonian_model.Hamiltonian):
       total = self._total_circuit(observables)
       flat = list(phi) + list(obs_circuit_params)
@@ -363,9 +378,8 @@ class SampledQuantumInference(QuantumInference):
       if isinstance(observables.energy, energy_model.PauliMixin):
         plan, slices = self._measurement_plan(total.pqc,
                                               observables.operator_shards)
-        term_means = _sampled_term_means(plan, total.pqc,
-                                         self.expectation_samples, values,
-                                         bits, key)  # [B, T]
+        term_means = self._run_term_means(plan, total.pqc, values, bits,
+                                          keys)  # [B, T]
         coeffs = jnp.concatenate(
             [jnp.atleast_1d(s.coeffs) for s in observables.operator_shards])
         weighted = term_means * jnp.real(coeffs)[None, :]
@@ -377,16 +391,15 @@ class SampledQuantumInference(QuantumInference):
         return post[:, None]
       # General BitstringEnergy observable: sample measurement bitstrings and
       # push them through the energy (reference qnn.py:170-238).
-      return _sampled_energy_expectation(
-          total.pqc, self.expectation_samples,
+      return self._run_energy_expectation(
+          total.pqc,
           lambda th, samples: observables.energy.apply_flat(th, samples),
-          values, obs_energy_params, bits, key)[:, None]
+          values, obs_energy_params, bits, keys)[:, None]
     ops = _as_pauli_tuple(observables)
     values = self._circuit.resolved_values_flat(phi)
     plan, slices = self._measurement_plan(self._circuit.pqc, ops)
-    term_means = _sampled_term_means(plan, self._circuit.pqc,
-                                     self.expectation_samples, values, bits,
-                                     key)
+    term_means = self._run_term_means(plan, self._circuit.pqc, values, bits,
+                                      keys)
     coeffs = jnp.concatenate([jnp.atleast_1d(op.coeffs) for op in ops])
     weighted = term_means * jnp.real(coeffs)[None, :]
     return jnp.stack([jnp.sum(weighted[:, a:b], axis=1) for a, b in slices],
@@ -421,14 +434,17 @@ class SampledQuantumInference(QuantumInference):
 def _sampled_energy_expectation(pqc: ir.Circuit, shots: int, energy_apply,
                                 values: jnp.ndarray, energy_params,
                                 init_bits: jnp.ndarray,
-                                key: jax.Array) -> jnp.ndarray:
-  """[B] sampled <K> where K's eigenbasis measurement feeds an energy fn."""
+                                keys: jax.Array) -> jnp.ndarray:
+  """[B] sampled <K> where K's eigenbasis measurement feeds an energy fn.
+
+  `keys` is one PRNG key per initial state ([B] leading axis), keeping the
+  batch axis slice-able for the sharded wrapper."""
   return _see_forward(pqc, shots, energy_apply, values, energy_params,
-                      init_bits, key, None)
+                      init_bits, keys, None)
 
 
 def _see_forward(pqc, shots, energy_apply, values, energy_params, init_bits,
-                 key, angle_offsets):
+                 keys, angle_offsets):
   n = pqc.num_qubits
 
   def one(bits, k):
@@ -437,23 +453,23 @@ def _see_forward(pqc, shots, energy_apply, values, energy_params, init_bits,
     samples = sv.sample_bitstrings(k, state, shots)
     return jnp.mean(energy_apply(energy_params, samples))
 
-  keys = jax.random.split(key, init_bits.shape[0])
   return jax.vmap(one)(init_bits, keys)
 
 
-def _see_fwd(pqc, shots, energy_apply, values, energy_params, init_bits, key):
+def _see_fwd(pqc, shots, energy_apply, values, energy_params, init_bits,
+             keys):
   out = _see_forward(pqc, shots, energy_apply, values, energy_params,
-                     init_bits, key, None)
-  return out, (values, energy_params, init_bits, key)
+                     init_bits, keys, None)
+  return out, (values, energy_params, init_bits, keys)
 
 
 def _see_bwd(pqc, shots, energy_apply, res, g):
-  values, energy_params, init_bits, key = res
+  values, energy_params, init_bits, keys = res
 
-  # Energy-parameter gradients: same samples (same key), tape through energy.
+  # Energy-parameter gradients: same samples (same keys), tape through energy.
   def fwd_e(ep):
-    return _see_forward(pqc, shots, energy_apply, values, ep, init_bits, key,
-                        None)
+    return _see_forward(pqc, shots, energy_apply, values, ep, init_bits,
+                        keys, None)
 
   _, vjp_e = jax.vjp(fwd_e, energy_params)
   (energy_bar,) = vjp_e(g)
@@ -466,9 +482,9 @@ def _see_bwd(pqc, shots, energy_apply, res, g):
     frozen_ep = jax.lax.stop_gradient(energy_params)
 
     def eval_one(offset_row, r):
+      fresh = jax.vmap(lambda k: jax.random.fold_in(k, r + 1))(keys)
       return _see_forward(pqc, shots, energy_apply, values, frozen_ep,
-                          init_bits, jax.random.fold_in(key, r + 1),
-                          offset_row)
+                          init_bits, fresh, offset_row)
 
     evals = jax.vmap(eval_one)(jnp.asarray(offsets),
                                jnp.arange(offsets.shape[0]))  # [R, B]

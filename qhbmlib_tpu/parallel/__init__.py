@@ -14,8 +14,15 @@ reference lacks:
     whose expectations run data-parallel over the 'data' axis and
     amplitude-sharded over the 'state' axis.  The existing `vqt`/`qmhl`/
     `QHBM` layers compose with it unchanged.
+  * `sampled_sharded` -- `ShardedSampledQuantumInference`, the shot-based
+    engine with the state batch (and every parameter-shift evaluation)
+    split over a mesh axis.
+  * `ebm_sharded` -- `ShardedGibbsWithGradientsInference`, GWG MCMC chains
+    spread across a mesh axis (bit-identical to the single-device chains).
 """
 
 from qhbmlib_tpu.parallel.mesh import make_mesh
 from qhbmlib_tpu.parallel import sharded_sv
 from qhbmlib_tpu.parallel.qnn_sharded import ShardedQuantumInference
+from qhbmlib_tpu.parallel.sampled_sharded import ShardedSampledQuantumInference
+from qhbmlib_tpu.parallel.ebm_sharded import ShardedGibbsWithGradientsInference

@@ -92,6 +92,56 @@ def test_vanilla_vqt_converges_toward_target(tmp_path):
   assert fid[-1] > 0.9
 
 
+def test_kill_and_resume(tmp_path, monkeypatch):
+  """An interrupted QVARTZ sequence resumes from the latest checkpoint:
+  finished data points are restored (not retrained) and the sequence
+  re-enters at the first unfinished point with the restored parameters."""
+  pytest.importorskip("orbax.checkpoint")
+  out = str(tmp_path / "resume")
+  config = _small_config("qvartz", "vanilla",
+                         **{"logging.checkpoint": True})
+
+  # "Kill" mid-sequence: preempt the process after the first data point's
+  # training (its checkpoint is already on disk).
+  calls = {"n": 0}
+  orig_train_model = train.train_model
+
+  def preempting_train_model(*args, **kwargs):
+    calls["n"] += 1
+    if calls["n"] > 1:
+      raise RuntimeError("simulated preemption")
+    return orig_train_model(*args, **kwargs)
+
+  monkeypatch.setattr(train, "train_model", preempting_train_model)
+  with pytest.raises(RuntimeError, match="simulated preemption"):
+    train.run_experiment(config, out, seed=5)
+  monkeypatch.setattr(train, "train_model", orig_train_model)
+
+  ckpt_root = os.path.join(out, "results", "checkpoints")
+  (beta_label,) = os.listdir(ckpt_root)
+  saved = os.path.join(ckpt_root, beta_label, "trial_0")
+  assert os.path.isdir(saved)
+  mtime = os.path.getmtime(saved)
+
+  # Restart with the full sequence: the beta point must be restored (its
+  # checkpoint untouched) and the time points trained.
+  results = train.run_experiment(config, out, seed=5)
+  assert os.path.getmtime(saved) == mtime  # not retrained/resaved
+  labels = sorted(os.listdir(os.path.join(results, "metrics")))
+  assert sum(l.startswith("time_") for l in labels) == 2
+  losses = _read_metrics(results, "time_1p5", "loss")
+  assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+  # The restored-then-trained checkpoints exist for every data point.
+  assert len(os.listdir(ckpt_root)) == 3
+
+  # A third run restores everything and trains nothing new.
+  mtimes = {l: os.path.getmtime(os.path.join(ckpt_root, l, "trial_0"))
+            for l in os.listdir(ckpt_root)}
+  train.run_experiment(config, out, seed=5)
+  for l, t in mtimes.items():
+    assert os.path.getmtime(os.path.join(ckpt_root, l, "trial_0")) == t
+
+
 def test_sweep_launcher_dry(tmp_path):
   from baselines import launch
   sweep = config_lib.get_sweep()

@@ -25,6 +25,21 @@ def test_rung_one_step(name):
   assert not np.allclose(before, after)
 
 
+@pytest.mark.slow
+def test_r5_spec_size_28q_compiles_on_virtual_mesh():
+  """BASELINE.json configs[4]: the 28-qubit GWG + QMHL rung, statevectors
+  sharded over the 8-virtual-device 'state' mesh.  Compile-only: lowering +
+  XLA compilation prove the sharded program (ICI partner exchanges, psum'd
+  adjoint, mesh GWG chains) is executable at the spec size without
+  allocating the 2GB statevectors on the CI host."""
+  step_fn, params, opt_state, ebm_state, meta = ladder.build_rung(
+      "r5_gwg28_qmhl", smoke=True, qubits=28)
+  assert meta["n"] == 28 and meta["state_shards"] == 8
+  key = jax.random.PRNGKey(1)
+  compiled = step_fn.lower(params, opt_state, key, ebm_state).compile()
+  assert compiled is not None
+
+
 def test_thermal_state_data_matches_dense():
   """ThermalStateData expectation == tr[rho K] computed densely."""
   import jax.numpy as jnp

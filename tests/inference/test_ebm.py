@@ -50,9 +50,14 @@ class TestAnalyticEnergyInference:
     energies = np.asarray(energy(infer.all_bitstrings), np.float64)
     z = np.exp(-energies).sum()
     probs = np.exp(-energies) / z
-    np.testing.assert_allclose(float(infer.log_partition()), np.log(z),
-                               rtol=1e-5)
-    np.testing.assert_allclose(float(infer.entropy()),
+    theta = energy.trainable_variables
+    key = jax.random.PRNGKey(1)
+    logz = test_util.jit_toggle(
+        lambda th: infer.log_partition_pure(th, key))(theta)
+    entropy = test_util.jit_toggle(
+        lambda th: infer.entropy_pure(th, key))(theta)
+    np.testing.assert_allclose(float(logz), np.log(z), rtol=1e-5)
+    np.testing.assert_allclose(float(entropy),
                                -(probs * np.log(probs)).sum(), rtol=1e-5)
 
   def test_expectation_value(self):
@@ -84,7 +89,7 @@ class TestAnalyticEnergyInference:
     def loss(theta):
       return infer.expectation_pure(theta, f, f_param, key)
 
-    actual = jax.grad(loss)(energy.trainable_variables)
+    actual = test_util.jit_toggle(jax.grad(loss))(energy.trainable_variables)
     expected = test_util.approximate_gradient(loss,
                                               energy.trainable_variables)
     for a, e in zip(actual, expected):
@@ -102,7 +107,7 @@ class TestAnalyticEnergyInference:
     def logz(theta):
       return infer.log_partition_pure(theta, key)
 
-    actual = jax.grad(logz)(energy.trainable_variables)
+    actual = test_util.jit_toggle(jax.grad(logz))(energy.trainable_variables)
     expected = test_util.approximate_gradient(logz,
                                               energy.trainable_variables)
     for a, e in zip(actual, expected):
@@ -134,7 +139,10 @@ class TestBernoulliEnergyInference:
     infer = ebm.BernoulliEnergyInference(energy, 100)
     p = np.asarray(jax.nn.sigmoid(energy.logits), np.float64)
     expected = -(p * np.log(p) + (1 - p) * np.log(1 - p)).sum()
-    np.testing.assert_allclose(float(infer.entropy()), expected, rtol=1e-5)
+    entropy = test_util.jit_toggle(
+        lambda th: infer.entropy_pure(th, jax.random.PRNGKey(0)))(
+            energy.trainable_variables)
+    np.testing.assert_allclose(float(entropy), expected, rtol=1e-5)
 
   def test_log_partition_closed_form(self):
     n = 3
@@ -143,8 +151,10 @@ class TestBernoulliEnergyInference:
     infer = ebm.BernoulliEnergyInference(energy, 100)
     thetas = np.asarray(energy.logits, np.float64) / 2
     expected = np.log(2 * np.cosh(thetas)).sum()
-    np.testing.assert_allclose(float(infer.log_partition()), expected,
-                               rtol=1e-5)
+    logz = test_util.jit_toggle(
+        lambda th: infer.log_partition_pure(th, jax.random.PRNGKey(0)))(
+            energy.trainable_variables)
+    np.testing.assert_allclose(float(logz), expected, rtol=1e-5)
 
   def test_large_n_unique_path(self):
     """n > enum threshold goes through padded-unique support."""

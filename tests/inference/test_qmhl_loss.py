@@ -33,10 +33,10 @@ class TestQMHL:
     loss_fn = qmhl_loss.make_qmhl(qdata, model_infer)
     params = {"model": model_infer.params, "data": data_infer.params}
     pure = lambda p: loss_fn(p, jax.random.PRNGKey(1))[0]
-    actual = float(pure(params))
+    actual = float(test_util.jit_toggle(pure)(params))
     np.testing.assert_allclose(actual, expected, rtol=CLOSE_RTOL)
 
-    grads = jax.grad(pure)(params)
+    grads = test_util.jit_toggle(jax.grad(pure))(params)
     for g in grads["model"]["theta"] + grads["model"]["phi"]:
       np.testing.assert_allclose(np.asarray(g), 0.0, atol=2e-3)
 
@@ -109,8 +109,9 @@ class TestQMHL:
     loss_fn = qmhl_loss.make_qmhl(qdata, model_infer)
     params = {"model": model_infer.params, "data": data_infer.params}
     pure = lambda p: loss_fn(p, jax.random.PRNGKey(21))[0]
-    actual = jax.grad(lambda p: pure({"model": p, "data": params["data"]}))(
-        params["model"])
+    actual = test_util.jit_toggle(
+        jax.grad(lambda p: pure({"model": p, "data": params["data"]})))(
+            params["model"])
     expected = test_util.approximate_gradient(
         lambda p: pure({"model": p, "data": params["data"]}),
         params["model"])

@@ -99,7 +99,7 @@ class TestAnalyticQuantumInference:
     def f(phi):
       return jnp.sum(q_infer.expectation_pure(phi, bits, op))
 
-    actual = jax.grad(f)(circ.trainable_variables)
+    actual = test_util.jit_toggle(jax.grad(f))(circ.trainable_variables)
     expected = test_util.approximate_gradient(f, circ.trainable_variables)
     for a, e in zip(actual, expected):
       np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-3)
@@ -135,7 +135,7 @@ class TestSampledQuantumInference:
     def f_exact(phi):
       return jnp.sum(q_analytic.expectation_pure(phi, bits, op))
 
-    g_s = jax.grad(f_sampled)(circ.trainable_variables)
+    g_s = test_util.jit_toggle(jax.grad(f_sampled))(circ.trainable_variables)
     g_a = jax.grad(f_exact)(circ.trainable_variables)
     for a, e in zip(g_s, g_a):
       np.testing.assert_allclose(np.asarray(a), np.asarray(e),

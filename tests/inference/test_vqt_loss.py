@@ -61,7 +61,7 @@ class TestVQT:
       loss_fn = vqt_loss.make_vqt(qhbm_infer, test_h)
       params = qhbm_infer.params
       pure = lambda p: loss_fn(p, jax.random.PRNGKey(3), test_beta)[0]
-      grads = jax.grad(pure)(params)
+      grads = test_util.jit_toggle(jax.grad(pure))(params)
       expected_thetas_grads = (1 - np.tanh(thetas)**2) * (
           test_beta * np.sin(phis) + thetas)
       expected_phis_grads = test_beta * np.tanh(thetas) * np.cos(phis)
@@ -84,13 +84,16 @@ class TestVQT:
     phis = np.asarray(circ.trainable_variables[0], np.float64)
 
     loss_fn = vqt_loss.make_vqt(qhbm_infer, test_h)
-    pure = lambda p: loss_fn(p, jax.random.PRNGKey(0), test_beta)[0]
+    pure = test_util.jit_toggle(
+        lambda p: loss_fn(p, jax.random.PRNGKey(0), test_beta)[0])
     actual_loss = float(pure(qhbm_infer.params))
     expected_loss = test_beta * np.sum(np.tanh(thetas) * np.sin(phis)) - (
         np.sum(-thetas * np.tanh(thetas) + np.log(2 * np.cosh(thetas))))
     np.testing.assert_allclose(actual_loss, expected_loss, atol=2e-6)
 
-    grads = jax.grad(pure)(qhbm_infer.params)
+    grads = jax.grad(
+        lambda p: loss_fn(p, jax.random.PRNGKey(0), test_beta)[0])(
+            qhbm_infer.params)
     expected_gt = (1 - np.tanh(thetas)**2) * (test_beta * np.sin(phis) +
                                               thetas)
     expected_gp = test_beta * np.tanh(thetas) * np.cos(phis)
@@ -115,11 +118,14 @@ class TestVQT:
 
     loss_fn = vqt_loss.make_vqt(model_infer, data_h)
     params = vqt_loss._vqt_params(model_infer, data_h)
-    pure = lambda p: loss_fn(p, jax.random.PRNGKey(5), 1.0)[0]
+    pure = test_util.jit_toggle(
+        lambda p: loss_fn(p, jax.random.PRNGKey(5), 1.0)[0])
     actual_loss = float(pure(params))
     np.testing.assert_allclose(actual_loss, expected_loss, rtol=CLOSE_RTOL)
 
-    grads = jax.grad(pure)(params)
+    grads = test_util.jit_toggle(
+        jax.grad(lambda p: loss_fn(p, jax.random.PRNGKey(5), 1.0)[0]))(
+            params)
     for g in grads["theta"] + grads["phi"]:
       np.testing.assert_allclose(np.asarray(g), 0.0, atol=ZERO_ATOL)
 
@@ -137,7 +143,7 @@ class TestVQT:
     loss_fn = vqt_loss.make_vqt(model_infer, data_h)
     params = vqt_loss._vqt_params(model_infer, data_h)
     pure = lambda p: loss_fn(p, jax.random.PRNGKey(11), beta)[0]
-    actual = jax.grad(pure)(params)
+    actual = test_util.jit_toggle(jax.grad(pure))(params)
     expected = test_util.approximate_gradient(pure, params)
     flat_a = jax.tree_util.tree_leaves(actual)
     flat_e = jax.tree_util.tree_leaves(expected)

@@ -44,6 +44,35 @@ def approximate_gradient(f: Callable, params, delta: float = 1e-2):
   return jax.tree_util.tree_unflatten(treedef, grads)
 
 
+def approximate_jacobian(f: Callable, params, delta: float = 1e-2):
+  """Five-point-stencil Jacobian of vector-valued f w.r.t. a pytree
+  (analog of reference test_util.py:252-309).
+
+  Returns a pytree matching `params` where each leaf has shape
+  f(params).shape + leaf.shape.
+  """
+  leaves, treedef = jax.tree_util.tree_flatten(params)
+  out_shape = np.asarray(f(params)).shape
+  jacs = []
+  for i, leaf in enumerate(leaves):
+    leaf = np.asarray(leaf, np.float64)
+    flat = leaf.reshape(-1)
+    j_cols = np.zeros(out_shape + (flat.size,))
+    for j in range(flat.size):
+      def f_at(eps):
+        pert = flat.copy()
+        pert[j] += eps
+        new_leaves = list(leaves)
+        new_leaves[i] = jnp.asarray(pert.reshape(leaf.shape), jnp.float32)
+        return np.asarray(
+            f(jax.tree_util.tree_unflatten(treedef, new_leaves)), np.float64)
+      j_cols[..., j] = (f_at(-2 * delta) - 8 * f_at(-delta) +
+                        8 * f_at(delta) - f_at(2 * delta)) / (12 * delta)
+    jacs.append(jnp.asarray(j_cols.reshape(out_shape + leaf.shape),
+                            jnp.float32))
+  return jax.tree_util.tree_unflatten(treedef, jacs)
+
+
 def jit_toggle(f: Callable) -> Callable:
   """Runs f both traced (jit) and eagerly, asserting identical results.
 

@@ -41,6 +41,68 @@ def test_approximate_gradient_pytree():
       approx, exact)
 
 
+def test_approximate_gradient_exact_on_quartics():
+  """The five-point stencil is EXACT (up to float64 round-off) for
+  polynomials of degree <= 4 -- the property that makes it trustworthy at
+  the library's gradient tolerances (reference test_util_test.py:359-481)."""
+  x0 = jnp.asarray([0.7, -0.4], jnp.float32)
+
+  def f(x):
+    return jnp.sum(0.3 * x**4 - 1.2 * x**3 + x**2 - 5.0 * x + 2.0)
+
+  approx = np.asarray(test_util.approximate_gradient(f, x0, delta=1e-1))
+  x = np.asarray(x0, np.float64)
+  exact = 1.2 * x**3 - 3.6 * x**2 + 2.0 * x - 5.0
+  np.testing.assert_allclose(approx, exact, rtol=1e-5)
+
+
+def test_approximate_gradient_error_scales_as_delta4():
+  """Truncation error of the five-point stencil is O(delta^4): shrinking
+  delta by 2 must shrink the error on a non-polynomial function ~16x."""
+  x0 = jnp.asarray([0.9], jnp.float32)
+
+  def f(x):
+    return jnp.sum(jnp.exp(x))
+
+  exact = float(np.exp(0.9))
+  err = {}
+  for delta in (0.4, 0.2):
+    approx = float(
+        np.asarray(test_util.approximate_gradient(f, x0, delta=delta))[0])
+    err[delta] = abs(approx - exact)
+  ratio = err[0.4] / max(err[0.2], 1e-12)
+  assert 8.0 < ratio < 32.0, (err, ratio)
+
+
+def test_approximate_gradient_catches_wrong_gradient():
+  """Guard on the guard: the stencil must DISAGREE with an incorrect
+  analytic gradient (otherwise its agreement checks prove nothing)."""
+  x0 = jnp.asarray([0.5, 1.5], jnp.float32)
+
+  def f(x):
+    return jnp.sum(jnp.sin(x))
+
+  approx = np.asarray(test_util.approximate_gradient(f, x0))
+  wrong = np.sin(np.asarray(x0))  # should be cos
+  assert np.abs(approx - wrong).max() > 0.1
+
+
+def test_approximate_jacobian_matches_jax():
+  """Vector-valued stencil Jacobian vs jax.jacrev (reference
+  test_util_test.py approximate_jacobian checks)."""
+  x0 = {"w": jnp.asarray([[0.2, -0.8], [1.1, 0.4]], jnp.float32)}
+
+  def f(p):
+    return jnp.stack([jnp.sum(jnp.sin(p["w"])),
+                      jnp.prod(jnp.cos(p["w"])),
+                      jnp.sum(p["w"]**3)])
+
+  approx = test_util.approximate_jacobian(f, x0)
+  exact = jax.jacrev(f)(x0)
+  np.testing.assert_allclose(np.asarray(approx["w"]),
+                             np.asarray(exact["w"]), rtol=1e-3, atol=1e-5)
+
+
 def test_jit_toggle_passes_on_deterministic_fn():
   @test_util.jit_toggle
   def f(x):
@@ -48,6 +110,24 @@ def test_jit_toggle_passes_on_deterministic_fn():
 
   out = f(jnp.arange(4, dtype=jnp.float32))
   np.testing.assert_allclose(float(out), 12.0)
+
+
+def test_jit_toggle_detects_trace_divergence():
+  """The toggle must FAIL when eager and traced execution differ -- here a
+  Python-side counter bakes a different constant into the trace (the class
+  of bug the reference's eager_mode_toggle exists to catch)."""
+  counter = {"n": 0}
+
+  @test_util.jit_toggle
+  def f(x):
+    counter["n"] += 1
+    return x + counter["n"]
+
+  try:
+    f(jnp.asarray(1.0))
+  except AssertionError:
+    return
+  raise AssertionError("jit_toggle accepted a trace-divergent function")
 
 
 def test_random_pauli_sum_is_hermitian():
