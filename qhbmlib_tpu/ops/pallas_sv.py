@@ -1,40 +1,39 @@
-"""Experimental Pallas forward kernel: whole circuit, state resident in VMEM.
+"""Whole-circuit Pallas forward kernel: state resident in VMEM, MXU stages.
 
 For n <= ~20 qubits the full statevector (8MB at n=20, split into float32
-real/imag planes) fits in VMEM, so the ENTIRE circuit forward can run as ONE
-kernel: HBM traffic collapses from one round trip per gate segment to a
-single state read + write.  Supported gates (the hardware-efficient-ansatz
-set): 1-qubit dense gates (XP/YP/HP/RX/RY) and the diagonal family
-(ZP/RZ/CZP/ZZP/GPHASE/all-Z PROT).  Unsupported circuits fall back to the
-fused JAX path transparently.
+real/imag planes) fits in VMEM, so the ENTIRE circuit forward runs as ONE
+kernel: HBM traffic collapses from one state read+write per gate segment
+(the XLA path is HBM-bandwidth-bound at these sizes -- ~0.44 ms per 20q/4L
+apply against an ~819 GB/s roofline) to a single state read + write.
 
-Structure: gate matrices and diagonal parity coefficients are computed
-OUTSIDE the kernel (tiny traced arithmetic) and passed in as small arrays;
-the kernel applies, per segment,
+v2 (round 2): every hot stage now runs on the MXU, mirroring the dense
+engine's block-matmul math (ops/statevector.py) instead of the v1 kernel's
+VPU loops:
 
-  * minor-qubit products as one [R,C]x[C,C] split-complex MXU matmul,
-  * major-qubit 2x2 gates via a row reshape exposing the qubit bit,
-  * diagonal parity factors as elementwise split-complex phase stages whose
-    +-1 sign planes come from in-kernel iota xor-parity folds (no [R,C]
-    angle buffer is materialized).
+  * 1q segments: per-qubit 2x2 matrices kron-fold OUTSIDE the kernel into
+    <=7-bit row-block operators ([128,128] max) and one combined minor
+    [C,C] matrix; the kernel applies each as split-complex MXU dots
+    (reference: the XLA path's `_apply_1q_segment`).
+  * diagonal segments: the total phase angle theta[R,C] = sum_k w_k *
+    s_r_k(row) * s_c_k(col) is ONE [R,K]x[K,C] MXU matmul against +-1
+    parity-sign matrices generated in-kernel from iota xor-folds, followed
+    by a single cos/sin rotation -- replacing v1's K sequential VPU
+    rotations (the measured reason v1 lost to XLA).
 
-STATUS: EXPERIMENTAL, not wired into any production path.  The kernel's
-logic validates exactly against the dense engine when run as plain JAX
-(2e-6 at 12 qubits / 2 layers) and it compiles and runs on TPU v5e in ~4s.
-On TPU, pallas-vs-dense differences of ~1e-3 turned out to be MUTUAL
-rounding: measured against CPU f32 ground truth the pallas kernel deviates
-LESS (1.1e-2) than the dense engine (1.4e-2) at an adversarial tiny-angle
-configuration -- both dominated by a platform-level f32 precision effect
-still under investigation (Precision.HIGHEST matmuls did not remove it).
-The Pallas interpreter hangs on multi-segment kernels, so interpret-mode
-tests cover the single-layer case only.  Next steps: wire into the forward
-path for n <= 20 and extend the same VMEM-resident structure to the adjoint
-backward sweep.
+Supported gates (the hardware-efficient-ansatz set): 1-qubit dense gates
+(XP/YP/HP/RX/RY) and the diagonal family (ZP/RZ/CZP/ZZP/GPHASE/all-Z PROT).
+Unsupported circuits fall back to the fused XLA path transparently.
+
+Layered circuits (identical static segment structure per layer) compile as
+a `fori_loop` over layers with per-layer parameters indexed from stacked
+inputs, keeping Mosaic program size independent of depth.
+
+Enabled by default on TPU for supported circuits when it wins; opt-out via
+QHBM_PALLAS=0 (see statevector.apply_circuit).
 """
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 
@@ -53,7 +52,7 @@ from qhbmlib_tpu.ops import statevector as sv
 
 _SUPPORTED_1Q = frozenset({ir.XP, ir.YP, ir.HP, ir.RX, ir.RY})
 
-# VMEM budget: state (2 planes) + one working copy must fit comfortably.
+# VMEM budget: state (2 planes) + working copies must fit comfortably.
 _MAX_STATE_BYTES = 8 << 20
 
 
@@ -74,10 +73,16 @@ def supported(circuit: ir.Circuit) -> bool:
 
 
 def _prepare_segments(circuit: ir.Circuit, angles, shape_rc):
-  """Builds the static per-segment descriptors + traced input arrays.
+  """Builds static per-stage descriptors + traced input arrays.
 
-  Returns (descs, inputs): descs is a static tuple describing each segment;
-  inputs is a flat list of arrays consumed positionally by the kernel.
+  Returns (descs, inputs):
+    descs: static tuple of (kind, meta) consumed by the kernel;
+    inputs: flat list of arrays, one per desc (consumed positionally).
+
+  Stage kinds:
+    ("rowblock", (start, k))  input [2^k, 2^k] complex -> (re, im) pair
+    ("minor_mm", None)        input [C, C] complex transposed -> (re, im)
+    ("diag_mm", (rms, cms))   input [1, K] float32 weighted angles
   """
   r, c = shape_rc
   n = circuit.num_qubits
@@ -94,9 +99,8 @@ def _prepare_segments(circuit: ir.Circuit, angles, shape_rc):
       for gate, angle in zip(seg_gates, seg_angles):
         by_qubit.setdefault(gate.qubits[0], []).append(
             sv.gate_matrix(gate.kind, angle))
-      major_qubits = []
       minor_combined = None
-      major_mats = []
+      major_by_qubit = {}
       for q in sorted(by_qubit):
         mat = by_qubit[q][0]
         for nxt in by_qubit[q][1:]:
@@ -106,27 +110,26 @@ def _prepare_segments(circuit: ir.Circuit, angles, shape_rc):
           minor_combined = (emb if minor_combined is None
                             else emb @ minor_combined)
         else:
-          major_qubits.append(q)
-          major_mats.append(mat)
-      if major_mats:
-        stack = jnp.stack(major_mats).reshape(len(major_mats), 4)  # [G, 4]
-        inputs.append(("smem", jnp.real(stack).astype(jnp.float32)))
-        inputs.append(("smem", jnp.imag(stack).astype(jnp.float32)))
-        descs.append(("major1q", tuple(major_qubits)))
+          major_by_qubit[q] = mat
+      for start, k in sv._row_blocks(nr):
+        folded = sv._fold_block(major_by_qubit, start, k)
+        if folded is not None:
+          descs.append(("rowblock", (start, k)))
+          inputs.append((jnp.real(folded).astype(jnp.float32),
+                         jnp.imag(folded).astype(jnp.float32)))
       if minor_combined is not None:
         mt = minor_combined.T  # state @ M.T
-        inputs.append(("vmem", jnp.real(mt).astype(jnp.float32)))
-        inputs.append(("vmem", jnp.imag(mt).astype(jnp.float32)))
         descs.append(("minor_mm", None))
+        inputs.append((jnp.real(mt).astype(jnp.float32),
+                       jnp.imag(mt).astype(jnp.float32)))
     else:  # diag
       coeffs, rms, cms, owner = sv.diag_segment_triples(seg_gates, nr, m)
       weighted = jnp.stack(
           [jnp.asarray(coeffs[k], jnp.float32) *
            jnp.asarray(seg_angles[owner[k]], jnp.float32)
            for k in range(len(coeffs))])
-      inputs.append(("smem", jnp.cos(weighted)[:, None]))
-      inputs.append(("smem", jnp.sin(weighted)[:, None]))
-      descs.append(("diag", (tuple(rms), tuple(cms))))
+      descs.append(("diag_mm", (tuple(rms), tuple(cms))))
+      inputs.append((weighted[None, :],))  # [1, K]
   return tuple(descs), inputs
 
 
@@ -141,64 +144,91 @@ def _xor_parity_sign(idx: jnp.ndarray, mask: int) -> jnp.ndarray:
   return (1 - 2 * par).astype(jnp.float32)
 
 
-def _make_kernel(descs, r, c, nr, m):
-  """Returns the kernel body closed over the static segment descriptors."""
+def _dot(a, b):
+  return jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+
+
+def _apply_rowblock(x_re, x_im, m_re, m_im, start, k, r, c):
+  """Split-complex contraction of a [2^k, 2^k] operator against row qubits
+  [start, start+k) (kernel-side mirror of sv.apply_row_block)."""
+  pre = 2**start
+  nn = 2**k
+  if pre == 1:
+    vr = x_re.reshape(nn, -1)
+    vi = x_im.reshape(nn, -1)
+    y_re = _dot(m_re, vr) - _dot(m_im, vi)
+    y_im = _dot(m_re, vi) + _dot(m_im, vr)
+    return y_re.reshape(r, c), y_im.reshape(r, c)
+  vr = x_re.reshape(pre, nn, -1)
+  vi = x_im.reshape(pre, nn, -1)
+  prog = "MN,aNb->aMb"
+  y_re = (jnp.einsum(prog, m_re, vr, precision=jax.lax.Precision.HIGHEST) -
+          jnp.einsum(prog, m_im, vi, precision=jax.lax.Precision.HIGHEST))
+  y_im = (jnp.einsum(prog, m_re, vi, precision=jax.lax.Precision.HIGHEST) +
+          jnp.einsum(prog, m_im, vr, precision=jax.lax.Precision.HIGHEST))
+  return y_re.reshape(r, c), y_im.reshape(r, c)
+
+
+def _apply_diag_mm(x_re, x_im, w_row, rms, cms, rows, cols):
+  """theta = (S_r * w) @ S_c on the MXU, then one cos/sin rotation.
+
+  S_r [R, K] / S_c [K, C] are +-1 parity-sign matrices generated in-kernel
+  from iota xor-folds (tiny VPU work: K columns of [R,1] / rows of [1,C])."""
+  s_r = jnp.concatenate([_xor_parity_sign(rows, rm) for rm in rms], axis=1)
+  s_c = jnp.concatenate([_xor_parity_sign(cols, cm) for cm in cms], axis=0)
+  theta = _dot(s_r * w_row, s_c)  # [R, C]
+  cth = jnp.cos(theta)
+  sth = jnp.sin(theta)
+  y_re = cth * x_re - sth * x_im
+  y_im = cth * x_im + sth * x_re
+  return y_re, y_im
+
+
+def _make_kernel(descs, r, c, t_count):
+  """Kernel body closed over static stage descriptors.
+
+  With t_count > 1 every input carries a leading [T] axis and the stages run
+  inside a fori_loop over layers."""
+
+  def apply_period(t, x_re, x_im, in_refs, rows, cols):
+    pos = 2
+    for kind, meta in descs:
+      if kind == "rowblock":
+        start, k = meta
+        m_re = in_refs[pos][t] if t is not None else in_refs[pos][:]
+        m_im = in_refs[pos + 1][t] if t is not None else in_refs[pos + 1][:]
+        pos += 2
+        x_re, x_im = _apply_rowblock(x_re, x_im, m_re, m_im, start, k, r, c)
+      elif kind == "minor_mm":
+        mt_re = in_refs[pos][t] if t is not None else in_refs[pos][:]
+        mt_im = in_refs[pos + 1][t] if t is not None else in_refs[pos + 1][:]
+        pos += 2
+        y_re = _dot(x_re, mt_re) - _dot(x_im, mt_im)
+        y_im = _dot(x_re, mt_im) + _dot(x_im, mt_re)
+        x_re, x_im = y_re, y_im
+      else:  # diag_mm
+        rms, cms = meta
+        w_row = in_refs[pos][t] if t is not None else in_refs[pos][:]
+        pos += 1
+        x_re, x_im = _apply_diag_mm(x_re, x_im, w_row, rms, cms, rows, cols)
+    return x_re, x_im
 
   def kernel(*refs):
     in_refs = refs[:-2]
     out_re, out_im = refs[-2], refs[-1]
-    x_re = in_refs[0][:]
-    x_im = in_refs[1][:]
-    pos = 2
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-
-    for kind, meta in descs:
-      if kind == "major1q":
-        mats_re = in_refs[pos]
-        mats_im = in_refs[pos + 1]
-        pos += 2
-        for g, q in enumerate(meta):
-          a = 2**q
-          vr = x_re.reshape(a, 2, -1)
-          vi = x_im.reshape(a, 2, -1)
-          v0r, v1r = vr[:, 0, :], vr[:, 1, :]
-          v0i, v1i = vi[:, 0, :], vi[:, 1, :]
-          m00r, m01r = mats_re[g, 0], mats_re[g, 1]
-          m10r, m11r = mats_re[g, 2], mats_re[g, 3]
-          m00i, m01i = mats_im[g, 0], mats_im[g, 1]
-          m10i, m11i = mats_im[g, 2], mats_im[g, 3]
-          n0r = m00r * v0r - m00i * v0i + m01r * v1r - m01i * v1i
-          n0i = m00r * v0i + m00i * v0r + m01r * v1i + m01i * v1r
-          n1r = m10r * v0r - m10i * v0i + m11r * v1r - m11i * v1i
-          n1i = m10r * v0i + m10i * v0r + m11r * v1i + m11i * v1r
-          x_re = jnp.stack([n0r, n1r], axis=1).reshape(r, c)
-          x_im = jnp.stack([n0i, n1i], axis=1).reshape(r, c)
-      elif kind == "minor_mm":
-        mt_re = in_refs[pos][:]
-        mt_im = in_refs[pos + 1][:]
-        pos += 2
-        dot = lambda a, b: jax.lax.dot(a, b,
-                                       precision=jax.lax.Precision.HIGHEST,
-                                       preferred_element_type=jnp.float32)
-        y_re = dot(x_re, mt_re) - dot(x_im, mt_im)
-        y_im = dot(x_re, mt_im) + dot(x_im, mt_re)
-        x_re, x_im = y_re, y_im
-      else:  # diag
-        cos_k = in_refs[pos]
-        sin_k = in_refs[pos + 1]
-        pos += 2
-        rms, cms = meta
-        for k in range(len(rms)):
-          # phase factor exp(i * w_k * s) with s = sign_r * sign_c in {+-1}:
-          # cos(w) + i * s * sin(w).
-          s = _xor_parity_sign(rows, rms[k]) * _xor_parity_sign(cols, cms[k])
-          ck = cos_k[k, 0]
-          sk = sin_k[k, 0] * s
-          y_re = ck * x_re - sk * x_im
-          y_im = ck * x_im + sk * x_re
-          x_re, x_im = y_re, y_im
-
+    x_re = in_refs[0][:]
+    x_im = in_refs[1][:]
+    if t_count > 1:
+      x_re, x_im = jax.lax.fori_loop(
+          0, t_count,
+          lambda t, carry: apply_period(t, carry[0], carry[1], in_refs, rows,
+                                        cols),
+          (x_re, x_im))
+    else:
+      x_re, x_im = apply_period(None, x_re, x_im, in_refs, rows, cols)
     out_re[:] = x_re
     out_im[:] = x_im
 
@@ -211,8 +241,7 @@ def _find_period(descs):
   Parameterized circuits built from repeated layers (the hardware-efficient
   ansatz, Trotter steps) produce identical static segment descriptors per
   layer; the kernel then loops over layers instead of unrolling them, which
-  divides Mosaic program size (and compile time) by T.
-  """
+  divides Mosaic program size (and compile time) by T."""
   s = len(descs)
   for p in range(1, s + 1):
     if s % p:
@@ -222,86 +251,19 @@ def _find_period(descs):
   return s, 1
 
 
-def _stack_inputs(inputs, per_period: int, t_count: int):
-  """Stacks the flat per-segment input list across T period repeats.
-
-  `inputs` is [(tag, array), ...] with `per_period` entries per repeat; the
-  result has `per_period` entries, each [T, ...]."""
-  stacked = []
+def _flatten_inputs(inputs, per_period: int, t_count: int):
+  """Flattens per-desc input tuples, stacking across T period repeats."""
+  flat = []
+  if t_count == 1:
+    for group in inputs:
+      flat.extend(group)
+    return flat
   for j in range(per_period):
-    tag = inputs[j][0]
-    arrs = [inputs[t * per_period + j][1] for t in range(t_count)]
-    stacked.append((tag, jnp.stack(arrs)))
-  return stacked
-
-
-def _make_layered_kernel(period_descs, t_count, r, c, nr, m):
-  """Kernel looping over T repeats of a static period of segments.
-
-  Same math as `_make_kernel`, but inputs carry a leading [T] axis indexed
-  by the loop counter, so the compiled program size is independent of the
-  number of layers."""
-
-  def kernel(*refs):
-    in_refs = refs[:-2]
-    out_re, out_im = refs[-2], refs[-1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-
-    def body(t, carry):
-      x_re, x_im = carry
-      pos = 2
-      for kind, meta in period_descs:
-        if kind == "major1q":
-          mats_re = in_refs[pos]
-          mats_im = in_refs[pos + 1]
-          pos += 2
-          for g, q in enumerate(meta):
-            a = 2**q
-            vr = x_re.reshape(a, 2, -1)
-            vi = x_im.reshape(a, 2, -1)
-            v0r, v1r = vr[:, 0, :], vr[:, 1, :]
-            v0i, v1i = vi[:, 0, :], vi[:, 1, :]
-            m00r, m01r = mats_re[t, g, 0], mats_re[t, g, 1]
-            m10r, m11r = mats_re[t, g, 2], mats_re[t, g, 3]
-            m00i, m01i = mats_im[t, g, 0], mats_im[t, g, 1]
-            m10i, m11i = mats_im[t, g, 2], mats_im[t, g, 3]
-            n0r = m00r * v0r - m00i * v0i + m01r * v1r - m01i * v1i
-            n0i = m00r * v0i + m00i * v0r + m01r * v1i + m01i * v1r
-            n1r = m10r * v0r - m10i * v0i + m11r * v1r - m11i * v1i
-            n1i = m10r * v0i + m10i * v0r + m11r * v1i + m11i * v1r
-            x_re = jnp.stack([n0r, n1r], axis=1).reshape(r, c)
-            x_im = jnp.stack([n0i, n1i], axis=1).reshape(r, c)
-        elif kind == "minor_mm":
-          mt_re = in_refs[pos][t]
-          mt_im = in_refs[pos + 1][t]
-          pos += 2
-          dot = lambda a, b: jax.lax.dot(a, b,
-                                         precision=jax.lax.Precision.HIGHEST,
-                                         preferred_element_type=jnp.float32)
-          y_re = dot(x_re, mt_re) - dot(x_im, mt_im)
-          y_im = dot(x_re, mt_im) + dot(x_im, mt_re)
-          x_re, x_im = y_re, y_im
-        else:  # diag
-          cos_k = in_refs[pos]
-          sin_k = in_refs[pos + 1]
-          pos += 2
-          rms, cms = meta
-          for k in range(len(rms)):
-            s = _xor_parity_sign(rows, rms[k]) * _xor_parity_sign(cols, cms[k])
-            ck = cos_k[t, k, 0]
-            sk = sin_k[t, k, 0] * s
-            y_re = ck * x_re - sk * x_im
-            y_im = ck * x_im + sk * x_re
-            x_re, x_im = y_re, y_im
-      return x_re, x_im
-
-    x_re, x_im = jax.lax.fori_loop(
-        0, t_count, body, (in_refs[0][:], in_refs[1][:]))
-    out_re[:] = x_re
-    out_im[:] = x_im
-
-  return kernel
+    arity = len(inputs[j])
+    for a in range(arity):
+      flat.append(jnp.stack(
+          [inputs[t * per_period + j][a] for t in range(t_count)]))
+  return flat
 
 
 def apply_circuit_pallas(circuit: ir.Circuit,
@@ -311,34 +273,22 @@ def apply_circuit_pallas(circuit: ir.Circuit,
   """One-kernel forward application of a supported circuit."""
   r, c = state.shape
   n = circuit.num_qubits
-  m = int(c).bit_length() - 1
-  nr = n - m
   angles = [sv.resolve_angle(gate, symbol_values) for gate in circuit.gates]
   descs, inputs = _prepare_segments(circuit, angles, (r, c))
   per_period, t_count = _find_period(descs)
-  if t_count > 1:
-    # Inputs per segment: every desc consumes exactly two input arrays.
-    inputs = _stack_inputs(inputs, 2 * per_period, t_count)
-    descs = descs[:per_period]
-    kernel = _make_layered_kernel(descs, t_count, r, c, nr, m)
-  else:
-    kernel = _make_kernel(descs, r, c, nr, m)
+  inputs = _flatten_inputs(inputs, per_period, t_count)
+  kernel = _make_kernel(descs[:per_period], r, c, t_count)
 
   x_re = jnp.real(state).astype(jnp.float32)
   x_im = jnp.imag(state).astype(jnp.float32)
-  tagged = [("vmem", x_re), ("vmem", x_im)] + inputs
-  all_inputs = [arr for _, arr in tagged]
+  all_inputs = [x_re, x_im] + inputs
   out_shape = (jax.ShapeDtypeStruct((r, c), jnp.float32),
                jax.ShapeDtypeStruct((r, c), jnp.float32))
   if interpret:
-    specs = [pl.BlockSpec() for _ in tagged]
+    specs = [pl.BlockSpec() for _ in all_inputs]
     out_specs = tuple(pl.BlockSpec() for _ in range(2))
   else:
-    # Small parameter arrays live in SMEM: scalar reads must come from
-    # scalar memory on TPU.
-    specs = [pl.BlockSpec(
-        memory_space=pltpu.SMEM if tag == "smem" else pltpu.VMEM)
-        for tag, _ in tagged]
+    specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in all_inputs]
     out_specs = tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                       for _ in range(2))
   kwargs = {}

@@ -1,0 +1,109 @@
+"""Multi-host / multi-slice topology: distributed init and ICI-aware meshes.
+
+The reference's only notion of topology is the XManager launcher's
+TPU-topology -> core-count table (reference baselines/launch.py:126-139,
+202-214); no code ever communicates across hosts.  This module is the
+TPU-native scaling story SURVEY.md section 2.3 calls for:
+
+  * `initialize_distributed` -- `jax.distributed.initialize` wrapper: every
+    host in a multi-host slice (or multi-slice DCN job) calls this once,
+    after which `jax.devices()` is the GLOBAL device list and the meshes
+    below span all hosts.  XLA then compiles the same shard_map programs
+    (parallel/sharded_sv.py) with cross-host ICI/DCN collectives -- no code
+    above this layer changes.
+  * `ici_mesh` -- a ('data', 'state') mesh laid out by
+    `mesh_utils.create_device_mesh`, which orders devices so that the LAST
+    mesh axis falls along physically adjacent ICI links; the 'state' axis
+    (amplitude sharding: per-gate ppermute partner exchanges) is placed
+    last so its collectives ride nearest-neighbor ICI hops.
+  * `dcn_mesh` -- a ('replica', 'data', 'state') hybrid mesh via
+    `mesh_utils.create_hybrid_device_mesh`: the 'replica' axis maps across
+    slices (DCN), carrying only per-step gradient psums (a few KB for QHBM
+    models), while 'data'/'state' stay inside each slice on ICI.  This is
+    the standard bandwidth hierarchy: statevector partner exchanges
+    (O(2^n / shards) per gate) never cross DCN.
+
+Sweep-level parallelism (independent hyperparameter points) stays at the
+launcher level (baselines/launch.py), one job per point, as in the
+reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh
+
+from qhbmlib_tpu.parallel import mesh as mesh_lib
+
+REPLICA_AXIS = "replica"
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+  """Initializes JAX's multi-host runtime; returns the global device count.
+
+  On Cloud TPU all three arguments are inferred from the metadata server, so
+  `initialize_distributed()` with no arguments is the common call.  Safe to
+  call in single-process runs (it no-ops when there is nothing to join).
+  """
+  if num_processes is not None and int(num_processes) <= 1:
+    return len(jax.devices())
+  try:
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+  except (ValueError, RuntimeError):
+    # Single-process environments (no coordinator discoverable) fall
+    # through: the local backend already owns every visible device.
+    if num_processes not in (None, 1):
+      raise
+  return len(jax.devices())
+
+
+def ici_mesh(data: int = 1,
+             state: int = 1,
+             devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+  """('data', 'state') mesh with ICI-aware device ordering.
+
+  Like `parallel.make_mesh`, but devices are arranged by
+  `mesh_utils.create_device_mesh`, which maps the trailing mesh axis onto
+  physically contiguous ICI rings on real TPU slices -- the 'state' axis's
+  per-gate `ppermute` partner exchanges then use nearest-neighbor links.
+  Falls back to the flat ordering off-TPU (CPU test meshes).
+  """
+  if state & (state - 1):
+    raise ValueError(f"state axis size must be a power of 2, got {state}")
+  if devices is None:
+    devices = jax.devices()
+  n = data * state
+  if len(devices) < n:
+    raise ValueError(f"need {n} devices, have {len(devices)}")
+  try:
+    dev_array = mesh_utils.create_device_mesh((data, state),
+                                              devices=list(devices)[:n])
+  except Exception:  # non-TPU platforms without topology info
+    dev_array = np.asarray(list(devices)[:n]).reshape(data, state)
+  return Mesh(dev_array, (mesh_lib.DATA_AXIS, mesh_lib.STATE_AXIS))
+
+
+def dcn_mesh(replica: int,
+             data: int = 1,
+             state: int = 1,
+             devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+  """('replica', 'data', 'state') hybrid mesh for multi-slice jobs.
+
+  `replica` spans slices over DCN (gradient psums only); 'data' and 'state'
+  stay intra-slice on ICI.  Requires a multi-slice environment (device
+  attribute `slice_index`); raises otherwise.
+  """
+  if devices is None:
+    devices = jax.devices()
+  dev_array = mesh_utils.create_hybrid_device_mesh(
+      (1, data, state), (replica, 1, 1), devices=list(devices))
+  return Mesh(dev_array,
+              (REPLICA_AXIS, mesh_lib.DATA_AXIS, mesh_lib.STATE_AXIS))

@@ -1,0 +1,50 @@
+"""Topology helpers: ICI-aware meshes + distributed init (CPU-mesh tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qhbmlib_tpu import parallel
+from qhbmlib_tpu.parallel import sharded_sv, topology
+from qhbmlib_tpu.models import circuit_utils
+from qhbmlib_tpu.ops import statevector as sv
+
+
+def test_initialize_distributed_single_process_noop():
+  assert topology.initialize_distributed(num_processes=1) == len(
+      jax.devices())
+
+
+def test_ici_mesh_axes_and_shape():
+  mesh = topology.ici_mesh(data=2, state=4)
+  assert mesh.shape == {"data": 2, "state": 4}
+  assert set(mesh.axis_names) == {"data", "state"}
+  # Every visible device appears exactly once.
+  ids = sorted(d.id for d in mesh.devices.reshape(-1))
+  assert ids == sorted(d.id for d in jax.devices()[:8])
+
+
+def test_ici_mesh_rejects_non_power_of_two_state():
+  with pytest.raises(ValueError, match="power of 2"):
+    topology.ici_mesh(data=1, state=3)
+
+
+def test_ici_mesh_runs_sharded_engine():
+  """The ICI-ordered mesh drops into the amplitude-sharded engine."""
+  mesh = topology.ici_mesh(data=1, state=8)
+  n = 4
+  pqc = circuit_utils.hardware_efficient_ansatz(n, 1)
+  values = jnp.asarray(
+      np.random.RandomState(0).uniform(-1, 1, pqc.num_symbols), jnp.float32)
+  dense = sv.simulate(pqc, values).reshape(-1)
+  sharded = sharded_sv.simulate_sharded(pqc, values, mesh)
+  np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                             atol=2e-5)
+
+
+def test_dcn_mesh_requires_multislice():
+  """CPU test devices carry no slice_index; the hybrid mesh must raise
+  rather than silently produce a wrong topology."""
+  with pytest.raises(Exception):
+    topology.dcn_mesh(replica=2, data=2, state=2)
