@@ -174,20 +174,23 @@ class TestBernoulliEnergyInference:
 class TestGibbsWithGradients:
 
   def test_chain_histogram(self):
-    """MCMC samples converge to softmax(-E) (analog of reference
-    ebm_test.py:879-941)."""
-    n = 3
+    """MCMC samples converge to softmax(-E) with FULL support over all 2^n
+    outcomes at high statistical power (analog of reference
+    ebm_test.py:879-941, which runs 1e6-scale sample checks)."""
+    n = 4
     energy = _random_kobe(n, seed=11)
+    num_samples = 100_000
     infer = ebm.GibbsWithGradientsInference(
-        energy, 20000, num_burnin_samples=500, num_chains=8, initial_seed=4)
-    samples = infer.sample(20000)
+        energy, num_samples, num_burnin_samples=500, num_chains=32,
+        initial_seed=4)
+    samples = infer.sample(num_samples)
     idx = np.asarray(samples).astype(np.int64) @ (2**np.arange(n - 1, -1, -1))
     hist = np.bincount(idx, minlength=2**n) / idx.shape[0]
     all_bits = jnp.asarray(sv.all_bitstrings(n))
     probs = np.asarray(jax.nn.softmax(-energy(all_bits)))
-    # Full support.
+    # Full support: every one of the 2^n outcomes is visited.
     assert (hist > 0).all()
-    np.testing.assert_allclose(hist, probs, atol=3e-2)
+    np.testing.assert_allclose(hist, probs, atol=1e-2)
 
   def test_burn_in_on_parameter_change(self):
     """Changing energy weights re-equilibrates the chain (analog of the

@@ -14,7 +14,7 @@ from qhbmlib_tpu.ops import statevector as sv
 from tests import test_util
 
 ANALYTIC_ATOL = 2e-3  # reference qnn_test.py:49-50
-SAMPLED_ATOL = 4e-2
+SAMPLED_ATOL = 2e-2  # reference sampled tolerance at 1e6 shots
 
 
 def _setup(n=2, layers=2, seed=0, sampled=False, shots=100000):
@@ -108,11 +108,12 @@ class TestAnalyticQuantumInference:
 class TestSampledQuantumInference:
 
   def test_matches_analytic(self):
-    """Sampled vs analytic engines agree at loose tolerance
-    (reference qnn_test.py:164-180)."""
+    """Sampled vs analytic engines agree at the reference's 1e6-shot
+    statistical power (reference qnn_test.py:164-180, vqt_loss_test.py:40-43;
+    the inverse-CDF sampler keeps this fast)."""
     n = 2
     circ, q_analytic = _setup(n, seed=9)
-    q_sampled = qnn.SampledQuantumInference(circ, 200000, initial_seed=10)
+    q_sampled = qnn.SampledQuantumInference(circ, 1_000_000, initial_seed=10)
     ops = (test_util.random_pauli_sum(n, 3, seed=11),)
     bits = jnp.asarray([[0, 0], [1, 0]], jnp.int8)
     a = np.asarray(q_analytic.expectation(bits, ops))
@@ -120,8 +121,11 @@ class TestSampledQuantumInference:
     np.testing.assert_allclose(a, s, atol=SAMPLED_ATOL)
 
   def test_parameter_shift_gradient(self):
+    """Parameter-shift gradients (fresh 1e6-shot batches per shifted
+    evaluation) vs adjoint-exact, at the reference's rtol-2e-2 power."""
     n = 2
-    circ, q_sampled = _setup(n, layers=1, seed=12, sampled=True, shots=60000)
+    circ, q_sampled = _setup(n, layers=1, seed=12, sampled=True,
+                             shots=1_000_000)
     op = paulis.pauli_sum_from_strings(n, [(0.7, {0: "Z"}), (-0.4, {1: "X"})])
     bits = jnp.asarray([[0, 0]], jnp.int8)
     key = jax.random.PRNGKey(42)

@@ -11,9 +11,9 @@ from qhbmlib_tpu.models import circuit_utils
 from qhbmlib_tpu.ops import paulis
 from tests import test_util
 
-CLOSE_RTOL = 3e-2
+CLOSE_RTOL = 2e-2  # reference vqt_loss_test.py:40-43 at 1e6 samples
 ZERO_ATOL = 1e-3
-NUM_SAMPLES = int(2e5)
+NUM_SAMPLES = int(1e6)
 
 
 def _x_rot_qhbm(num_qubits, seed, num_samples=NUM_SAMPLES, exact=False):
