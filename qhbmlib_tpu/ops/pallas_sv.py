@@ -128,8 +128,10 @@ def _prepare_segments(circuit: ir.Circuit, angles, shape_rc):
           [jnp.asarray(coeffs[k], jnp.float32) *
            jnp.asarray(seg_angles[owner[k]], jnp.float32)
            for k in range(len(coeffs))])
-      descs.append(("diag_mm", (tuple(rms), tuple(cms))))
-      inputs.append((weighted[None, :],))  # [1, K]
+      rmask = jnp.asarray(np.asarray(rms, np.int32)[None, :])  # [1, K]
+      cmask = jnp.asarray(np.asarray(cms, np.int32)[:, None])  # [K, 1]
+      descs.append(("diag_mm", len(rms)))
+      inputs.append((weighted[None, :], rmask, cmask))
   return tuple(descs), inputs
 
 
@@ -144,9 +146,33 @@ def _xor_parity_sign(idx: jnp.ndarray, mask: int) -> jnp.ndarray:
   return (1 - 2 * par).astype(jnp.float32)
 
 
+def _sign_matrix(idx: jnp.ndarray, mask_arr: jnp.ndarray) -> jnp.ndarray:
+  """+-1 parity-sign matrix in ONE broadcast xor-fold pass.
+
+  idx is a broadcasted iota ([R,1] rows or [1,C] cols); mask_arr is the
+  matching-orientation int32 mask array ([1,K] or [K,1], a kernel input --
+  Pallas kernels cannot capture constants)."""
+  v = jnp.bitwise_and(idx, mask_arr)
+  for shift in (16, 8, 4, 2, 1):
+    v = jnp.bitwise_xor(v, v >> shift)
+  par = jnp.bitwise_and(v, 1)
+  return (1 - 2 * par).astype(jnp.float32)
+
+
 def _dot(a, b):
-  return jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+  return jax.lax.dot(a, b, precision=matmul_precision_lax(),
                      preferred_element_type=jnp.float32)
+
+
+def matmul_precision_lax():
+  """Kernel dots honor the QHBM_MATMUL_PRECISION mode, clamped to what
+  Mosaic lowers: DEFAULT (1-pass bf16) or HIGHEST (6-pass).  The XLA
+  engine's 3-pass 'high' mode has no Mosaic equivalent and maps up to
+  HIGHEST (conservative: more accurate, slower)."""
+  p = sv.matmul_precision()
+  if p in (None, jax.lax.Precision.DEFAULT):
+    return jax.lax.Precision.DEFAULT
+  return jax.lax.Precision.HIGHEST
 
 
 def _apply_rowblock(x_re, x_im, m_re, m_im, start, k, r, c):
@@ -163,20 +189,21 @@ def _apply_rowblock(x_re, x_im, m_re, m_im, start, k, r, c):
   vr = x_re.reshape(pre, nn, -1)
   vi = x_im.reshape(pre, nn, -1)
   prog = "MN,aNb->aMb"
-  y_re = (jnp.einsum(prog, m_re, vr, precision=jax.lax.Precision.HIGHEST) -
-          jnp.einsum(prog, m_im, vi, precision=jax.lax.Precision.HIGHEST))
-  y_im = (jnp.einsum(prog, m_re, vi, precision=jax.lax.Precision.HIGHEST) +
-          jnp.einsum(prog, m_im, vr, precision=jax.lax.Precision.HIGHEST))
+  p = matmul_precision_lax()
+  y_re = (jnp.einsum(prog, m_re, vr, precision=p) -
+          jnp.einsum(prog, m_im, vi, precision=p))
+  y_im = (jnp.einsum(prog, m_re, vi, precision=p) +
+          jnp.einsum(prog, m_im, vr, precision=p))
   return y_re.reshape(r, c), y_im.reshape(r, c)
 
 
-def _apply_diag_mm(x_re, x_im, w_row, rms, cms, rows, cols):
+def _apply_diag_mm(x_re, x_im, w_row, rmask, cmask, rows, cols):
   """theta = (S_r * w) @ S_c on the MXU, then one cos/sin rotation.
 
   S_r [R, K] / S_c [K, C] are +-1 parity-sign matrices generated in-kernel
-  from iota xor-folds (tiny VPU work: K columns of [R,1] / rows of [1,C])."""
-  s_r = jnp.concatenate([_xor_parity_sign(rows, rm) for rm in rms], axis=1)
-  s_c = jnp.concatenate([_xor_parity_sign(cols, cm) for cm in cms], axis=0)
+  by one broadcast xor-fold pass each."""
+  s_r = _sign_matrix(rows, rmask)
+  s_c = _sign_matrix(cols, cmask)
   theta = _dot(s_r * w_row, s_c)  # [R, C]
   cth = jnp.cos(theta)
   sth = jnp.sin(theta)
@@ -208,10 +235,12 @@ def _make_kernel(descs, r, c, t_count):
         y_im = _dot(x_re, mt_im) + _dot(x_im, mt_re)
         x_re, x_im = y_re, y_im
       else:  # diag_mm
-        rms, cms = meta
         w_row = in_refs[pos][t] if t is not None else in_refs[pos][:]
-        pos += 1
-        x_re, x_im = _apply_diag_mm(x_re, x_im, w_row, rms, cms, rows, cols)
+        rmask = in_refs[pos + 1][t] if t is not None else in_refs[pos + 1][:]
+        cmask = in_refs[pos + 2][t] if t is not None else in_refs[pos + 2][:]
+        pos += 3
+        x_re, x_im = _apply_diag_mm(x_re, x_im, w_row, rmask, cmask, rows,
+                                    cols)
     return x_re, x_im
 
   def kernel(*refs):
@@ -294,11 +323,14 @@ def apply_circuit_pallas(circuit: ir.Circuit,
   kwargs = {}
   if not interpret and pltpu is not None:
     # Mosaic's default scoped-VMEM cap (16MB) is far below the physical
-    # VMEM on v5e+; the whole-circuit kernel needs state planes + working
-    # copies resident, so raise the cap explicitly.
+    # VMEM on v5e+ (~128MB); the whole-circuit kernel needs state planes +
+    # working copies resident, so raise the cap explicitly.
     kwargs["compiler_params"] = pltpu.CompilerParams(
         vmem_limit_bytes=int(
-            os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 100 << 20)))
+            os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20)))
+    # The output planes reuse the input state planes' VMEM (saves 2 plane
+    # allocations and the copy-out).
+    kwargs["input_output_aliases"] = {0: 0, 1: 1}
   o_re, o_im = pl.pallas_call(
       kernel,
       out_shape=out_shape,
