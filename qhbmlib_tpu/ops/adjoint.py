@@ -191,6 +191,34 @@ def _bwd(circuit, res, g):
                                                 jnp.ones_like(op.coeffs),
                                                 op.num_qubits),
                            term_weights=g)
+  if sv._pallas_forward_enabled():
+    # Opt-in (QHBM_PALLAS=1): the entire reverse sweep runs as ONE
+    # VMEM-resident Pallas kernel on TPU lowerings (measured ~6% faster
+    # than this XLA sweep at 20q/4L in bf16 precision; see
+    # benchmarks/RESULTS.md).  Other platforms take the XLA sweep.
+    from qhbmlib_tpu.ops import pallas_adjoint
+    if pallas_adjoint.supported(circuit):
+      import functools as _ft
+      grad = jax.lax.platform_dependent(
+          symbol_values, psi, lam,
+          tpu=_ft.partial(pallas_adjoint.adjoint_sweep, circuit),
+          default=_ft.partial(_xla_reverse_sweep, circuit, op, g))
+      zero_state = jnp.zeros_like(psi)
+      zero_coeffs = jax.tree_util.tree_map(
+          jnp.zeros_like,
+          paulis.PauliSum(op.codes, op.coeffs, op.num_qubits))
+      return grad, zero_state, zero_coeffs
+  grad = _xla_reverse_sweep(circuit, op, g, symbol_values, psi, lam)
+  zero_state = jnp.zeros_like(psi)
+  zero_coeffs = jax.tree_util.tree_map(
+      jnp.zeros_like,
+      paulis.PauliSum(op.codes, op.coeffs, op.num_qubits))
+  return grad, zero_state, zero_coeffs
+
+
+def _xla_reverse_sweep(circuit, op, g, symbol_values, psi, lam):
+  """The segment-fused XLA reverse sweep; returns values_bar."""
+  del op, g  # gradient terms depend only on (values, psi, lam)
   # Per-gate gradient contributions are collected and scattered ONCE at the
   # end: a per-gate `.at[slot].add` chain serializes hundreds of tiny
   # scatter ops on TPU and dominated the backward wall-clock.
@@ -222,14 +250,8 @@ def _bwd(circuit, res, g):
   if grad_terms:
     slots = jnp.asarray([s for s, _ in grad_terms], jnp.int32)
     contribs = jnp.stack([d for _, d in grad_terms])
-    grad = jnp.zeros_like(symbol_values).at[slots].add(contribs)
-  else:
-    grad = jnp.zeros_like(symbol_values)
-  zero_state = jnp.zeros_like(psi)
-  zero_coeffs = jax.tree_util.tree_map(
-      jnp.zeros_like,
-      paulis.PauliSum(op.codes, op.coeffs, op.num_qubits))
-  return grad, zero_state, zero_coeffs
+    return jnp.zeros_like(symbol_values).at[slots].add(contribs)
+  return jnp.zeros_like(symbol_values)
 
 
 def _apply_inverse(gate: ir.Gate, angle, state):
