@@ -20,7 +20,35 @@ import subprocess
 import sys
 
 
-def build_jobs(config_path: str, output_dir: str, sweep, seed: int):
+def tpu_topology_info(topology: str):
+  """(num_chips, num_hosts, mesh_plan) for a TPU topology string.
+
+  Parity with the reference's topology->cores inference
+  (reference baselines/launch.py:126-139: cores = 2 * prod(topology)); here
+  the useful outputs are chip/host counts and a default
+  ('data','state') mesh plan consumed by `parallel.topology.ici_mesh`.
+  Accepts '2x2', '4x4', '2x2x4', etc.  Hosts control 4 chips each (the
+  standard TPU-VM arrangement); multi-host jobs start one process per host
+  with `--distributed` (jax.distributed.initialize).
+  """
+  dims = [int(x) for x in topology.lower().split("x")]
+  if not dims or any(d < 1 for d in dims):
+    raise ValueError(f"bad tpu topology {topology!r}")
+  chips = 1
+  for d in dims:
+    chips *= d
+  hosts = max(1, chips // 4)
+  # Default mesh: largest power of two for amplitude sharding, remainder
+  # (if any) for data parallelism.
+  state = 1
+  while state * 2 <= chips:
+    state *= 2
+  data = chips // state
+  return chips, hosts, {"data": data, "state": state}
+
+
+def build_jobs(config_path: str, output_dir: str, sweep, seed: int,
+               tpu_topology: str = None):
   jobs = []
   for i, point in enumerate(sweep):
     label = "_".join(str(v) for v in point.values()) or f"point_{i}"
@@ -31,6 +59,15 @@ def build_jobs(config_path: str, output_dir: str, sweep, seed: int):
         f"--output_dir={job_dir}",
         f"--seed={seed}",
     ]
+    if tpu_topology:
+      chips, hosts, plan = tpu_topology_info(tpu_topology)
+      cmd.append("--distributed")
+      cmd.append(f"--mesh={plan['data']}x{plan['state']}")
+      if hosts > 1:
+        # The local pool runs this command once; on a real multi-host slice
+        # the same command runs on every host (jax.distributed infers
+        # coordinator/process ids from the TPU metadata).
+        cmd.append(f"--num_hosts={hosts}")
     for flag, value in point.items():
       cmd.append(f"--{flag}={value}")
     jobs.append((job_dir, cmd))
@@ -57,6 +94,11 @@ def main():
   retries_flag = flags.DEFINE_integer(
       "retries", 0, "Automatic retries per failed job (the reference's "
       "XManager jobs were fire-and-forget with no retry).")
+  topology_flag = flags.DEFINE_string(
+      "tpu_topology", None,
+      "TPU topology string (e.g. '2x2', '4x4'); jobs get --distributed and "
+      "a ('data','state') mesh plan inferred from the chip count (parity "
+      "with reference launch.py:126-139,202-214).")
 
   def run(argv):
     del argv
@@ -70,7 +112,7 @@ def main():
       sweep = [p for p in sweep if str(p.get(f"config.{k}", "")) == v]
     os.makedirs(output_flag.value, exist_ok=True)
     jobs = build_jobs(config_path_flag.value, output_flag.value, sweep,
-                      seed_flag.value)
+                      seed_flag.value, tpu_topology=topology_flag.value)
     manifest = [{"dir": d, "cmd": c} for d, c in jobs]
     with open(os.path.join(output_flag.value, "sweep_manifest.json"),
               "w") as fp:

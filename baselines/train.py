@@ -742,9 +742,27 @@ def main(argv=None):
   output_flag = flags.DEFINE_string("output_dir", "/tmp/qhbm_logs/exp",
                                     "Output directory.")
   seed_flag = flags.DEFINE_integer("seed", 42, "Random seed.")
+  distributed_flag = flags.DEFINE_bool(
+      "distributed", False,
+      "Join a multi-host slice via jax.distributed.initialize before "
+      "training (parallel/topology.py).")
+  mesh_flag = flags.DEFINE_string(
+      "mesh", None,
+      "DxS ('data'x'state') mesh plan from the launcher's topology "
+      "inference; recorded alongside the config for the run.")
+  hosts_flag = flags.DEFINE_integer(
+      "num_hosts", 1, "Host count of the slice (informational; the real "
+      "value comes from the TPU metadata at distributed init).")
 
   def run(argv):
     del argv
+    if distributed_flag.value:
+      from qhbmlib_tpu.parallel import topology
+      n_dev = topology.initialize_distributed()
+      absl_logging.info("distributed init: %d global devices over %d hosts",
+                        n_dev, hosts_flag.value)
+    if mesh_flag.value:
+      absl_logging.info("mesh plan: %s", mesh_flag.value)
     config = config_flag.value
     out = os.environ.get("AIP_TENSORBOARD_LOG_DIR", output_flag.value)
     absl_logging.info("Saving results to: %s", out)

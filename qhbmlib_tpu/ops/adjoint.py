@@ -458,12 +458,17 @@ def batched_expectations(circuit: ir.Circuit,
 
   batch = init_bits.shape[0]
   if batch_chunk is None:
-    # The adjoint backward keeps ~4 state-sized buffers live per vmapped
-    # element; target ~128MB of live chunk state (measured optimum on v5e
-    # at 20 qubits with the block-matmul engine: chunk=4 beats 2 by 1.45x
-    # and 16 by 2.7x).
-    state_bytes = 8 * (2**n)
-    batch_chunk = max(1, min(batch, (128 << 20) // (4 * state_bytes)))
+    import os
+    env = os.environ.get("QHBM_BATCH_CHUNK")
+    if env:
+      batch_chunk = max(1, min(batch, int(env)))
+    else:
+      # The adjoint backward keeps ~4 state-sized buffers live per vmapped
+      # element; target ~128MB of live chunk state (measured optimum on v5e
+      # at 20 qubits with the block-matmul engine: chunk=4 beats 2 by 1.45x
+      # and 16 by 2.7x).
+      state_bytes = 8 * (2**n)
+      batch_chunk = max(1, min(batch, (128 << 20) // (4 * state_bytes)))
   terms = _batched_terms(circuit, _HashableOp(big), batch_chunk,
                          symbol_values, init_bits)  # [B, T]
   weighted = terms * jnp.real(all_coeffs)[None, :]

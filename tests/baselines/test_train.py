@@ -152,3 +152,25 @@ def test_sweep_launcher_dry(tmp_path):
   for job_dir, cmd in jobs:
     assert "--config=baselines/config.py" in cmd
     assert any(a.startswith("--config.training.loss=") for a in cmd)
+
+
+def test_tpu_topology_inference(tmp_path):
+  """Topology string -> chips/hosts/mesh plan, and job-command injection
+  (parity with reference launch.py:126-139,202-214)."""
+  from baselines import launch
+  chips, hosts, plan = launch.tpu_topology_info("2x2")
+  assert chips == 4 and hosts == 1 and plan == {"data": 1, "state": 4}
+  chips, hosts, plan = launch.tpu_topology_info("4x4")
+  assert chips == 16 and hosts == 4 and plan == {"data": 1, "state": 16}
+  chips, hosts, plan = launch.tpu_topology_info("2x2x4")
+  assert chips == 16 and hosts == 4
+  with pytest.raises(ValueError):
+    launch.tpu_topology_info("0x2")
+
+  sweep = config_lib.get_sweep()[:1]
+  jobs = launch.build_jobs("baselines/config.py", str(tmp_path), sweep,
+                           seed=1, tpu_topology="4x4")
+  (job_dir, cmd), = jobs
+  assert "--distributed" in cmd
+  assert "--mesh=1x16" in cmd
+  assert "--num_hosts=4" in cmd
