@@ -140,14 +140,7 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
       major_inv_by_qubit[q] = v_inv
 
   def unapply(state):
-    for start, k in sv._row_blocks(nr):
-      mat = sv._fold_block(major_inv_by_qubit, start, k)
-      if mat is not None:
-        state = sv.apply_row_block(mat, start, k, state)
-    if minor_inv is not None:
-      state = jnp.matmul(state, minor_inv.T,
-                         precision=sv.matmul_precision())
-    return state
+    return sv.apply_majors_and_minor(state, major_inv_by_qubit, minor_inv)
 
   # Separate un-applies measure faster than a [2, R, C] stacked vmap (the
   # batch axis breaks the clean [2^k, rest] matmul layouts: 97 -> 134 ms on

@@ -295,6 +295,130 @@ def _flatten_inputs(inputs, per_period: int, t_count: int):
   return flat
 
 
+# ---------------------------------------------------------------------------
+# Tiled fused 1q-segment kernel for BIG states (state does not fit VMEM)
+# ---------------------------------------------------------------------------
+#
+# At n >= ~21 qubits the XLA path applies a 1q segment as 3-4 separate
+# state-sized matmul passes (one per <=7-bit row block + one minor [C,C]
+# matmul), each a full HBM read+write of the state -- the dominant cost of
+# both the forward sweep and the adjoint un-applies at 24+ qubits.  This
+# kernel fuses the first TWO row blocks and the minor matmul into ONE pass:
+# the state viewed as [2^k1, 2^k2, rest] streams through VMEM in
+# [2^k1, 2^k2, C]-shaped tiles (16MB max), and each tile applies
+#
+#   axis-0 contraction (block 1, [2^k1, 2^k1] folded operator, 2D MXU dot),
+#   axis-1 contraction (block 2, batched MXU dot),
+#   last-axis right-dot (the combined minor operator),
+#
+# before streaming back.  Row bits beyond k1+k2 (only n > 21) still take
+# the standard block matmul afterwards: 2 HBM passes per segment vs 4.
+#
+# MEASURED (v5e, benchmarks/fused1q_bench.py, 24q/4L, min over 3):
+#   apply  HIGH precision: plain 28.80 ms  fused 29.23 ms
+#   apply  bf16  (default): plain 19.67 ms  fused 19.43 ms
+#   grad   HIGH precision: plain 73.64 ms  fused 73.26 ms
+# i.e. a WASH at every operating point -- the XLA path is NOT HBM-pass-bound
+# at these shapes (XLA already overlaps the block matmuls' reads/writes; see
+# benchmarks/segment_probe.py for the per-segment breakdown).  The kernel is
+# therefore kept OPT-IN (QHBM_FUSED_1Q=1) as an experiment, not wired as a
+# default production path.
+
+def _fused_1q_kernel(k1, k2, c, stages):
+  n1, n2 = 2**k1, 2**k2
+
+  def kernel(*refs):
+    x_re_ref, x_im_ref = refs[0], refs[1]
+    o_re_ref, o_im_ref = refs[-2], refs[-1]
+    mats = refs[2:-2]
+    x_re = x_re_ref[:]
+    x_im = x_im_ref[:]
+    p = matmul_precision_lax()
+    pos = 0
+    for stage in stages:
+      m_re = mats[pos][:]
+      m_im = mats[pos + 1][:]
+      pos += 2
+      if stage == "b1":
+        fr = x_re.reshape(n1, -1)
+        fi = x_im.reshape(n1, -1)
+        y_re = _dot(m_re, fr) - _dot(m_im, fi)
+        y_im = _dot(m_re, fi) + _dot(m_im, fr)
+        x_re = y_re.reshape(n1, n2, c)
+        x_im = y_im.reshape(n1, n2, c)
+      elif stage == "b2":
+        prog = "MN,aNc->aMc"
+        y_re = (jnp.einsum(prog, m_re, x_re, precision=p) -
+                jnp.einsum(prog, m_im, x_im, precision=p))
+        y_im = (jnp.einsum(prog, m_re, x_im, precision=p) +
+                jnp.einsum(prog, m_im, x_re, precision=p))
+        x_re, x_im = y_re, y_im
+      else:  # minor (pre-transposed right operator)
+        fr = x_re.reshape(-1, c)
+        fi = x_im.reshape(-1, c)
+        y_re = _dot(fr, m_re) - _dot(fi, m_im)
+        y_im = _dot(fr, m_im) + _dot(fi, m_re)
+        x_re = y_re.reshape(n1, n2, c)
+        x_im = y_im.reshape(n1, n2, c)
+    o_re_ref[:] = x_re
+    o_im_ref[:] = x_im
+
+  return kernel
+
+
+def fused_blocks_minor_apply(state: jnp.ndarray,
+                             k1: int,
+                             k2: int,
+                             m1,
+                             m2,
+                             minor_mat_t,
+                             interpret: bool = False) -> jnp.ndarray:
+  """Applies (block1 on bits [0,k1)) x (block2 on bits [k1,k1+k2)) x
+  (minor operator, PRE-TRANSPOSED) to `state` in ONE streamed pass.
+
+  Any of m1/m2/minor_mat_t may be None (stage skipped; the stage set is
+  specialized statically into the kernel)."""
+  r, c = state.shape
+  n1, n2 = 2**k1, 2**k2
+  rest = (r // (n1 * n2)) * c
+  grid = max(1, rest // c)
+
+  stages = []
+  mat_inputs = []
+  for name, mat in (("b1", m1), ("b2", m2), ("minor", minor_mat_t)):
+    if mat is not None:
+      stages.append(name)
+      mat_inputs.append(jnp.real(mat).astype(jnp.float32))
+      mat_inputs.append(jnp.imag(mat).astype(jnp.float32))
+  x_re = jnp.real(state).astype(jnp.float32).reshape(n1, n2, rest)
+  x_im = jnp.imag(state).astype(jnp.float32).reshape(n1, n2, rest)
+
+  tile = (n1, n2, c)
+  kw = {} if interpret else {"memory_space": pltpu.VMEM}
+  sspec = pl.BlockSpec(tile, lambda j: (0, 0, j), **kw)
+  mat_specs = [pl.BlockSpec(a.shape, lambda j: (0, 0), **kw)
+               for a in mat_inputs]
+  kernel = _fused_1q_kernel(k1, k2, c, tuple(stages))
+  out_shape = (jax.ShapeDtypeStruct((n1, n2, rest), jnp.float32),
+               jax.ShapeDtypeStruct((n1, n2, rest), jnp.float32))
+  kwargs = {}
+  if not interpret and pltpu is not None:
+    kwargs["compiler_params"] = pltpu.CompilerParams(
+        vmem_limit_bytes=int(
+            os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20)))
+    kwargs["input_output_aliases"] = {0: 0, 1: 1}
+  o_re, o_im = pl.pallas_call(
+      kernel,
+      grid=(grid,),
+      out_shape=out_shape,
+      in_specs=[sspec, sspec] + mat_specs,
+      out_specs=(sspec, sspec),
+      interpret=interpret,
+      **kwargs,
+  )(x_re, x_im, *mat_inputs)
+  return (o_re + 1j * o_im).astype(sv.COMPLEX_DTYPE).reshape(r, c)
+
+
 def apply_circuit_pallas(circuit: ir.Circuit,
                          symbol_values: jnp.ndarray,
                          state: jnp.ndarray,

@@ -873,6 +873,64 @@ def partial_trace_1q(g_block: jnp.ndarray, k: int,
   return jnp.einsum("aibajb->ij", gt)
 
 
+def _fused_1q_enabled() -> bool:
+  """Streamed fused 1q-segment kernel (ops/pallas_sv.py
+  fused_blocks_minor_apply): folds the first two row-block matmuls and the
+  minor matmul into ONE HBM pass over the state on TPU lowerings."""
+  import os
+  return os.environ.get("QHBM_FUSED_1Q", "0") == "1"
+
+
+def apply_majors_and_minor(state: jnp.ndarray, major_by_qubit,
+                           minor_combined) -> jnp.ndarray:
+  """Applies per-qubit folded row-block operators + the combined minor
+  matmul.  Shared by the forward 1q segment and the adjoint un-applies.
+
+  With QHBM_FUSED_1Q=1, TPU lowerings fuse the first two row blocks and the
+  minor matmul into one streamed Pallas pass (2 HBM passes per segment at
+  24q instead of 4); other platforms and small states use the plain
+  per-block matmuls."""
+  r, c = state.shape
+  n = num_qubits_of(state)
+  m = int(c).bit_length() - 1
+  nr = n - m
+  blocks = _row_blocks(nr)
+
+  def plain(st):
+    for start, k in blocks:
+      mat = _fold_block(major_by_qubit, start, k)
+      if mat is not None:
+        st = apply_row_block(mat, start, k, st)
+    if minor_combined is not None:
+      st = jnp.matmul(st, minor_combined.T, precision=matmul_precision())
+    return st
+
+  if not (_fused_1q_enabled() and len(blocks) >= 2):
+    return plain(state)
+  (s1, k1), (s2, k2) = blocks[0], blocks[1]
+  m1 = _fold_block(major_by_qubit, s1, k1)
+  m2 = _fold_block(major_by_qubit, s2, k2)
+  mt = minor_combined.T if minor_combined is not None else None
+  if sum(x is not None for x in (m1, m2, mt)) < 2:
+    return plain(state)  # nothing to fuse
+
+  def fused(st):
+    import functools as _ft
+    from qhbmlib_tpu.ops import pallas_sv
+
+    def tpu_path(s):
+      out = pallas_sv.fused_blocks_minor_apply(s, k1, k2, m1, m2, mt)
+      for start, k in blocks[2:]:
+        mat = _fold_block(major_by_qubit, start, k)
+        if mat is not None:
+          out = apply_row_block(mat, start, k, out)
+      return out
+
+    return jax.lax.platform_dependent(st, tpu=tpu_path, default=plain)
+
+  return fused(state)
+
+
 def _apply_1q_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
   """A run of 1-qubit dense gates: gates on distinct qubits commute, so they
   merge per qubit; minor-qubit products combine into one [C, C] matmul and
@@ -896,13 +954,7 @@ def _apply_1q_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
       minor_combined = emb if minor_combined is None else emb @ minor_combined
     else:
       major_by_qubit[q] = mat
-  for start, k in _row_blocks(nr):
-    mat = _fold_block(major_by_qubit, start, k)
-    if mat is not None:
-      state = apply_row_block(mat, start, k, state)
-  if minor_combined is not None:
-    state = jnp.matmul(state, minor_combined.T, precision=matmul_precision())
-  return state
+  return apply_majors_and_minor(state, major_by_qubit, minor_combined)
 
 
 def diag_segment_triples(gates, nr: int, m: int):

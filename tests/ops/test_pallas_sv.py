@@ -49,6 +49,71 @@ def test_two_row_blocks_interpret():
   _validate(10, 2, seed=5)
 
 
+def test_fused_blocks_minor_apply_interpret():
+  """Streamed fused 1q-segment kernel (big-state path) vs the plain
+  block-matmul sequence, incl. stage subsets."""
+  rng = np.random.default_rng(0)
+  n = 16
+  r, c = 2**(n - 7), 128
+  state = rng.standard_normal((r, c)) + 1j * rng.standard_normal((r, c))
+  state = jnp.asarray(state / np.linalg.norm(state), sv.COMPLEX_DTYPE)
+
+  def randu():
+    a = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+    q, _ = np.linalg.qr(a)
+    return jnp.asarray(q, sv.COMPLEX_DTYPE)
+
+  blocks = sv._row_blocks(n - 7)
+  (s1, k1), (s2, k2) = blocks[0], blocks[1]
+  majors = {0: randu(), 3: randu(), 6: randu(), 7: randu(), 8: randu()}
+  minor = None
+  for q in range(3):
+    m = np.kron(np.kron(np.eye(2**q), np.asarray(randu())),
+                np.eye(2**(7 - q - 1)))
+    minor = m if minor is None else m @ minor
+  minor = jnp.asarray(minor, sv.COMPLEX_DTYPE)
+  m1 = sv._fold_block(majors, s1, k1)
+  m2 = sv._fold_block(majors, s2, k2)
+
+  def plain(st, use_m1, use_m2, use_minor):
+    if use_m1:
+      st = sv.apply_row_block(m1, s1, k1, st)
+    if use_m2:
+      st = sv.apply_row_block(m2, s2, k2, st)
+    if use_minor:
+      st = jnp.matmul(st, minor.T, precision=sv.matmul_precision())
+    return st
+
+  for use_m1, use_m2, use_minor in ((True, True, True), (True, False, True),
+                                    (True, True, False)):
+    got = pallas_sv.fused_blocks_minor_apply(
+        state, k1, k2, m1 if use_m1 else None, m2 if use_m2 else None,
+        minor.T if use_minor else None, interpret=True)
+    want = jax.jit(plain, static_argnums=(1, 2, 3))(state, use_m1, use_m2,
+                                                    use_minor)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_apply_majors_and_minor_fused_flag_cpu(monkeypatch):
+  """With QHBM_FUSED_1Q=1 the shared helper still matches the plain path on
+  CPU lowerings (platform_dependent default branch)."""
+  monkeypatch.setenv("QHBM_FUSED_1Q", "1")
+  rng = np.random.default_rng(1)
+  n = 15
+  r, c = 2**(n - 7), 128
+  state = rng.standard_normal((r, c)) + 1j * rng.standard_normal((r, c))
+  state = jnp.asarray(state / np.linalg.norm(state), sv.COMPLEX_DTYPE)
+  u = np.linalg.qr(rng.standard_normal((2, 2)) +
+                   1j * rng.standard_normal((2, 2)))[0]
+  majors = {1: jnp.asarray(u, sv.COMPLEX_DTYPE),
+            7: jnp.asarray(u.conj().T, sv.COMPLEX_DTYPE)}
+  got = jax.jit(lambda s: sv.apply_majors_and_minor(s, majors, None))(state)
+  monkeypatch.setenv("QHBM_FUSED_1Q", "0")
+  want = jax.jit(
+      lambda s: sv.apply_majors_and_minor(s, majors, None))(state)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_supported_gate_detection():
   assert pallas_sv.supported(
       circuit_utils.hardware_efficient_ansatz(10, 2)) == (

@@ -166,3 +166,84 @@ def test_random_hamiltonian_factory_shapes():
   assert model.circuit.num_qubits == 3
   samples = infer.e_inference.sample(16)
   assert samples.shape == (16, 3)
+
+
+_I2 = np.eye(2, dtype=np.complex128)
+_X = np.array([[0, 1], [1, 0]], np.complex128)
+_Z = np.array([[1, 0], [0, -1]], np.complex128)
+
+
+def _power(gate, t):
+  """cirq exponent convention incl. global phase: G**t for involution G
+  (qhbmlib_tpu/ops/circuit_ir.py:15-23), built independently via eigh."""
+  w, v = np.linalg.eigh(gate)
+  return np.exp(1j * np.pi * t / 2) * (
+      v @ np.diag(np.exp(-1j * np.pi * t / 2 * w)) @ v.conj().T)
+
+
+def test_hardware_efficient_ansatz_unitary_matches_hand_built():
+  """The 2q/1L baseline ansatz unitary equals an independently hand-built
+  kron product (reference test_util_test.py:81-97 checks the same ansatz
+  against a hand-assembled cirq circuit)."""
+  from qhbmlib_tpu.models import circuit_utils
+  pqc = circuit_utils.hardware_efficient_ansatz(2, 1)
+  rng = np.random.default_rng(11)
+  values = rng.uniform(-1, 1, pqc.num_symbols).astype(np.float32)
+  got = np.asarray(sv.unitary(pqc, jnp.asarray(values)), np.complex128)
+
+  by_name = dict(zip(pqc.symbol_names, values.astype(np.float64)))
+  # Layer order (circuit_utils.hardware_efficient_ansatz): X^a on q0,q1;
+  # Z^b on q0,q1; CZ^c on (q0,q1).  Qubit 0 is the MOST significant index
+  # (statevector row-major layout).
+  u = np.kron(_power(_X, by_name["p_x_0_0"]), _power(_X, by_name["p_x_0_1"]))
+  u = np.kron(_power(_Z, by_name["p_z_0_0"]),
+              _power(_Z, by_name["p_z_0_1"])) @ u
+  cz = np.diag([1.0, 1.0, 1.0, -1.0]).astype(np.complex128)
+  w, v = np.linalg.eigh(cz)
+  t = by_name["p_cz_e_0_0"]
+  czp = np.exp(1j * np.pi * t / 2) * (
+      v @ np.diag(np.exp(-1j * np.pi * t / 2 * w)) @ v.conj().T)
+  u = czp @ u
+  np.testing.assert_allclose(got, u, atol=1e-5)
+
+
+def test_random_circuit_unitary_is_unitary():
+  """U U^dagger = I for the random-factory circuit (reference
+  test_util_test.py:119-133 random-unitary validity)."""
+  model, _ = test_util.get_random_hamiltonian_and_inference(
+      3, 2, "fixture_unitary", 100, exact=True)
+  u = np.asarray(
+      sv.unitary(model.circuit.pqc, model.circuit.symbol_values),
+      np.complex128)
+  np.testing.assert_allclose(u @ u.conj().T, np.eye(8), atol=1e-5)
+
+
+def test_exact_thermal_entropy_fixture():
+  """baselines.utils thermal-state helpers against a hand-solved 1-qubit
+  diagonal Hamiltonian (reference test_util_test.py:162-181
+  EntropyTest.test_exact_entropy)."""
+  from baselines import utils as b_utils
+  beta = 0.7
+  h = np.diag([1.0, -1.0]).astype(np.complex128)  # Z
+  rho = np.asarray(b_utils.get_thermal_state(beta, jnp.asarray(h)))
+  z = 2 * np.cosh(beta)
+  expected = np.diag([np.exp(-beta) / z, np.exp(beta) / z])
+  np.testing.assert_allclose(rho, expected, atol=1e-6)
+  logz = float(b_utils.log_partition_function(beta, jnp.asarray(h)))
+  np.testing.assert_allclose(logz, np.log(z), atol=1e-6)
+  # entropy via relative_entropy(rho, rho) = 0 sanity
+  np.testing.assert_allclose(
+      float(b_utils.relative_entropy(jnp.asarray(rho), jnp.asarray(rho))),
+      0.0, atol=1e-6)
+
+
+def test_approximate_jacobian_catches_wrong_jacobian():
+  """Jacobian analog of the wrong-gradient guard."""
+  x0 = jnp.asarray([0.4, -0.9], jnp.float32)
+
+  def f(x):
+    return jnp.stack([jnp.sum(jnp.sin(x)), jnp.sum(x**2)])
+
+  approx = np.asarray(test_util.approximate_jacobian(f, x0))
+  wrong = np.stack([np.sin(np.asarray(x0)), 2.0 * np.asarray(x0)**2])
+  assert np.abs(approx - wrong).max() > 0.1
