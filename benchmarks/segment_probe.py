@@ -3,11 +3,20 @@
 Times (chained-scan discipline, see fused1q_bench.py) each primitive of the
 segment-fused apply in isolation:
 
-  seg1q      one 1q segment (X^a on every qubit)
-  diag       one diagonal segment (Z^b on every qubit + brick-wall CZ^c)
-  block7     one [128,128] row-block matmul pass over the state
-  minor      one [C,C] minor matmul pass
-  phase      diag phase-angle build + complex multiply only
+  seg1q        one 1q segment (X^a on every qubit)
+  diag         one diagonal segment (Z^b on every qubit + brick-wall CZ^c)
+  block7       one [128,128] row-block matmul pass over the state
+  block7_mid   the same block applied at start=7 (non-leading position)
+  minor        one [C,C] minor matmul pass
+  phase        diag phase-angle build + complex multiply only
+  block7_pl    block7 with PLANAR state (two float32 arrays, 4 real dots)
+  minor_pl     minor with planar state
+  phase_pl     phase rotation with planar state (cos/sin + 4 multiplies)
+
+The planar variants measure how much of the complex-path cost is the
+interleaved-complex64 relayout XLA inserts around every MXU contraction.
+All complex constants stay under jit (eager complex ops poison the axon
+tunnel -- .claude/skills/verify/SKILL.md).
 
   python -m benchmarks.segment_probe [--qubits 24] [--iters 8]
 """
@@ -27,20 +36,24 @@ from qhbmlib_tpu.ops import circuit_ir as ir
 from qhbmlib_tpu.ops import statevector as sv
 
 
-def _chain(step, n, iters):
+def _chain(step, n, iters, planar=False):
   @jax.jit
   def run(values):
     state = sv.basis_state(n, jnp.zeros([n], jnp.int8))
+    if planar:
+      state = (jnp.real(state), jnp.imag(state))
 
     def body(carry, _):
       state, vals = carry
       state = step(vals, state)
-      probe = jnp.real(state.reshape(-1)[0])
+      first = state[0] if planar else state
+      probe = jnp.real(first.reshape(-1)[0])
       return (state, vals + 1e-6 * probe), probe
 
     (state, _), probes = jax.lax.scan(body, (state, values), None,
                                       length=iters)
-    return jnp.sum(probes) + jnp.real(state.reshape(-1)[1])
+    first = state[0] if planar else state
+    return jnp.sum(probes) + jnp.real(first.reshape(-1)[1])
 
   return run
 
@@ -90,33 +103,84 @@ def main():
         jnp.float32)
     results[name] = _time(name, run, values, args.iters)
 
-  # primitive passes
+  # primitive passes.  Keep every complex constant as NUMPY here; it enters
+  # the graph as a jit-time constant (eager complex jnp ops poison the
+  # tunnel).
   rng = np.random.RandomState(1)
-  u128 = jnp.asarray(np.linalg.qr(rng.randn(128, 128) +
-                                  1j * rng.randn(128, 128))[0],
-                     sv.COMPLEX_DTYPE)
+  u128_np = np.linalg.qr(rng.randn(128, 128) +
+                         1j * rng.randn(128, 128))[0]
+  u128_re = jnp.asarray(u128_np.real, jnp.float32)
+  u128_im = jnp.asarray(u128_np.imag, jnp.float32)
+
+  def _u128(vals):
+    mat = jnp.asarray(u128_np, sv.COMPLEX_DTYPE)
+    return mat * jnp.exp(1j * vals[0].astype(sv.COMPLEX_DTYPE))
 
   def block7(vals, state):
-    mat = u128 * jnp.exp(1j * vals[0].astype(sv.COMPLEX_DTYPE))
-    return sv.apply_row_block(mat, 0, 7, state)
+    return sv.apply_row_block(_u128(vals), 0, 7, state)
+
+  def block7_mid(vals, state):
+    return sv.apply_row_block(_u128(vals), 7, 7, state)
 
   def minor(vals, state):
-    mat = u128 * jnp.exp(1j * vals[0].astype(sv.COMPLEX_DTYPE))
-    return jnp.matmul(state, mat.T, precision=sv.matmul_precision())
+    return jnp.matmul(state, _u128(vals).T, precision=sv.matmul_precision())
 
   def phase(vals, state):
     total = sv.diag_segment_phase(diag.gates, list(vals), state.shape)
     return state * jnp.exp(1j * total.astype(sv.COMPLEX_DTYPE))
 
+  # planar variants: state as (re, im) float32 pair, explicit 4-real-dot
+  # complex arithmetic -- what a planar engine layout would run.
+  prec = sv.matmul_precision()
+
+  def _rot(vals):
+    c = jnp.cos(vals[0])
+    s = jnp.sin(vals[0])
+    return u128_re * c - u128_im * s, u128_re * s + u128_im * c
+
+  def block7_pl(vals, state):
+    re, im = state
+    r, c = re.shape
+    m_re, m_im = _rot(vals)
+    fr = re.reshape(128, -1)
+    fi = im.reshape(128, -1)
+    prog = "MN,Nb->Mb"
+    o_re = (jnp.einsum(prog, m_re, fr, precision=prec) -
+            jnp.einsum(prog, m_im, fi, precision=prec))
+    o_im = (jnp.einsum(prog, m_re, fi, precision=prec) +
+            jnp.einsum(prog, m_im, fr, precision=prec))
+    return o_re.reshape(r, c), o_im.reshape(r, c)
+
+  def minor_pl(vals, state):
+    re, im = state
+    m_re, m_im = _rot(vals)
+    o_re = (jnp.matmul(re, m_re.T, precision=prec) -
+            jnp.matmul(im, m_im.T, precision=prec))
+    o_im = (jnp.matmul(re, m_im.T, precision=prec) +
+            jnp.matmul(im, m_re.T, precision=prec))
+    return o_re, o_im
+
+  def phase_pl(vals, state):
+    re, im = state
+    total = sv.diag_segment_phase(diag.gates, list(vals), re.shape)
+    c = jnp.cos(total)
+    s = jnp.sin(total)
+    return re * c - im * s, re * s + im * c
+
   vals1 = jnp.asarray([0.3], jnp.float32)
   valsd = jnp.asarray(
       np.random.RandomState(2).uniform(-1, 1, diag.num_symbols), jnp.float32)
-  results["block7"] = _time("block7", _chain(block7, n, args.iters), vals1,
-                            args.iters)
-  results["minor"] = _time("minor", _chain(minor, n, args.iters), vals1,
-                           args.iters)
-  results["phase"] = _time("phase", _chain(phase, n, args.iters), valsd,
-                           args.iters)
+  for name, fn, vals, planar in (
+      ("block7", block7, vals1, False),
+      ("block7_mid", block7_mid, vals1, False),
+      ("minor", minor, vals1, False),
+      ("phase", phase, valsd, False),
+      ("block7_pl", block7_pl, vals1, True),
+      ("minor_pl", minor_pl, vals1, True),
+      ("phase_pl", phase_pl, valsd, True),
+  ):
+    results[name] = _time(name, _chain(fn, n, args.iters, planar=planar),
+                          vals, args.iters)
   print(json.dumps({"qubits": n, "ms": {k: round(v, 3)
                                         for k, v in results.items()}}))
 
