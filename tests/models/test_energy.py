@@ -44,6 +44,26 @@ class TestBernoulliEnergy:
     with pytest.raises(ValueError):
       models.BernoulliEnergy([1, 1, 2])
 
+  def test_operator_expectation(self):
+    """Shard Z-expectations of a definite bitstring fed through
+    operator_expectation reproduce the direct energy (reference
+    energy_test.py:194-232)."""
+    n = 5
+    energy = models.BernoulliEnergy(list(range(n)))
+    theta = np.random.RandomState(3).uniform(-2, 2, n).astype(np.float32)
+    energy.set_trainable_variables([jnp.asarray(theta)])
+    for bits in sv.all_bitstrings(n)[[0, 7, 19, 31]]:
+      spins = jnp.asarray(1.0 - 2.0 * bits, jnp.float32)
+      via_op = np.asarray(energy.operator_expectation(spins)).reshape(())
+      direct = np.asarray(energy(jnp.asarray(bits)[None])).reshape(())
+      np.testing.assert_allclose(via_op, direct, rtol=1e-6)
+    # pure variant matches the stateful one
+    spins = jnp.asarray(1.0 - 2.0 * sv.all_bitstrings(n)[9], jnp.float32)
+    flat = [energy.post_process[0].kernel]
+    np.testing.assert_allclose(
+        np.asarray(energy.operator_expectation_flat(flat, spins)),
+        np.asarray(energy.operator_expectation(spins)), rtol=1e-6)
+
 
 class TestKOBE:
 
@@ -101,6 +121,27 @@ class TestKOBE:
       models.KOBE([0, 1], 0)
     with pytest.raises(TypeError):
       models.KOBE([0, 1], 1.5)
+
+  def test_operator_expectation(self):
+    """Per-term parity expectations of a definite bitstring fed through
+    operator_expectation reproduce the direct KOBE energy (reference
+    energy_test.py:269-307)."""
+    n = 4
+    energy = models.KOBE(list(range(n)), 2)
+    num_terms = n + n * (n - 1) // 2
+    kernel = np.random.RandomState(7).uniform(-1, 1, num_terms).astype(
+        np.float32)
+    energy.set_trainable_variables([jnp.asarray(kernel)])
+    import itertools
+    combos = [c for k in range(1, 3)
+              for c in itertools.combinations(range(n), k)]
+    for bits in sv.all_bitstrings(n)[[0, 5, 11, 15]]:
+      spins = 1.0 - 2.0 * bits
+      parities = jnp.asarray(
+          [np.prod(spins[list(c)]) for c in combos], jnp.float32)
+      via_op = np.asarray(energy.operator_expectation(parities)).reshape(())
+      direct = np.asarray(energy(jnp.asarray(bits)[None])).reshape(())
+      np.testing.assert_allclose(via_op, direct, rtol=1e-5)
 
 
 class TestGeneralBitstringEnergy:
