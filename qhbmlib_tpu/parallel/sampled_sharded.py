@@ -78,10 +78,13 @@ class ShardedSampledQuantumInference(qnn.SampledQuantumInference):
     psums its cotangent (required under jax's varying-manual-axes checks;
     the forward is the identity)."""
     axis = self._data_axis
-    try:
-      return jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, axis), tree)
-    except AttributeError:  # older jax: transpose psums automatically
+    if hasattr(jax.lax, "pcast"):
+      mark = lambda x: jax.lax.pcast(x, axis, to="varying")
+    elif hasattr(jax.lax, "pvary"):  # pre-0.9 jax
+      mark = lambda x: jax.lax.pvary(x, axis)
+    else:  # older still: transpose psums automatically
       return tree
+    return jax.tree_util.tree_map(mark, tree)
 
   def _run_term_means(self, plan, pqc, values, bits, keys):
     shots = self.expectation_samples
