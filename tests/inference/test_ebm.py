@@ -227,3 +227,63 @@ class TestGibbsWithGradients:
         lambda th: exact.expectation_pure(th, f, None, key))(theta)
     for a, e in zip(g_gwg, g_exact):
       np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=6e-2)
+
+
+class TestGWGKernel:
+  """Kernel internals, mirroring reference ebm_test.py:806-858
+  (test_get_index_proposal_probs / test_one_step)."""
+
+  def test_index_proposal_probs_closed_form(self):
+    """For BernoulliEnergy, dE/db = -2*theta, so the Taylor proposal
+    d(x) = (2b-1)*dE/db = 2*theta*s (s = 1-2b) and q(i|x) = softmax(theta*s)
+    at the reference's T=2."""
+    n = 5
+    energy = models.BernoulliEnergy(list(range(n)),
+                                    nn.RandomUniform(-2, 2, seed=13))
+    theta = energy.trainable_variables
+    apply_fn = lambda th, bits: energy.apply_flat(th, bits)
+    bits = jnp.asarray([0, 1, 1, 0, 1], jnp.float32)
+    probs = test_util.jit_toggle(
+        lambda b: ebm.gwg_index_proposal_probs(apply_fn, theta, b))(bits)
+    spins = 1.0 - 2.0 * np.asarray(bits)
+    expected = np.asarray(
+        jax.nn.softmax(jnp.asarray(spins * np.asarray(theta[0]))))
+    np.testing.assert_allclose(np.asarray(probs), expected, rtol=1e-5)
+
+  def test_one_step_flips_at_most_one_bit(self):
+    n = 6
+    energy = _random_kobe(n, seed=14)
+    theta = energy.trainable_variables
+    apply_fn = lambda th, bits: energy.apply_flat(th, bits)
+    state = jnp.zeros([n], jnp.int8)
+    for i in range(50):
+      key = jax.random.PRNGKey(i)
+      new = ebm.gwg_one_step(apply_fn, theta, key, state)
+      assert int(jnp.sum(jnp.abs(new.astype(jnp.int32)
+                                 - state.astype(jnp.int32)))) <= 1
+      state = new
+
+  def test_one_step_uniform_energy_always_flips(self):
+    """With theta = 0 the MH ratio is exactly 1: every proposal is accepted,
+    so the new state differs in exactly one bit."""
+    n = 7
+    energy = models.BernoulliEnergy(list(range(n)), nn.Constant(0.0))
+    theta = energy.trainable_variables
+    apply_fn = lambda th, bits: energy.apply_flat(th, bits)
+    state = jnp.asarray(np.random.RandomState(0).randint(0, 2, n), jnp.int8)
+    for i in range(25):
+      new = ebm.gwg_one_step(apply_fn, theta, jax.random.PRNGKey(i), state)
+      assert int(jnp.sum(jnp.abs(new.astype(jnp.int32)
+                                 - state.astype(jnp.int32)))) == 1
+      state = new
+
+  def test_one_step_seeded_deterministic(self):
+    n = 4
+    energy = _random_kobe(n, seed=15)
+    theta = energy.trainable_variables
+    apply_fn = lambda th, bits: energy.apply_flat(th, bits)
+    state = jnp.asarray([1, 0, 1, 0], jnp.int8)
+    key = jax.random.PRNGKey(42)
+    a = ebm.gwg_one_step(apply_fn, theta, key, state)
+    b = ebm.gwg_one_step(apply_fn, theta, key, state)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

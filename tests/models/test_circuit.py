@@ -96,3 +96,55 @@ def test_quantum_circuit_bad_symbols_raises():
   b.rx(0, "a")
   with pytest.raises(ValueError):
     models.QuantumCircuit(b.build(), ("b",), [[jnp.zeros(1)]], [[]])
+
+
+def test_bit_circuit_matches_basis_state():
+  """X^b state injection == engine basis_state fast path (analog of the
+  reference's QuantumCircuit.call state-prep prepend, circuit_test.py:83)."""
+  import jax
+  n = 4
+  bc = circuit_utils.bit_circuit(n)
+  for bits in ([0, 0, 0, 0], [1, 0, 1, 1], [1, 1, 1, 1]):
+    values = jnp.asarray(bits, jnp.float32)
+    psi = jax.jit(lambda v: sv.apply_circuit(
+        bc, v, sv.zero_state(n)))(values)
+    expected = jax.jit(lambda: sv.basis_state(
+        n, jnp.asarray(bits, jnp.int32)))()
+    np.testing.assert_allclose(np.asarray(sv.to_vector(psi)),
+                               np.asarray(sv.to_vector(expected)), atol=1e-6)
+
+
+def test_direct_circuit_default_init_range():
+  """Default initializer draws symbol values uniformly in [0, 2) (reference
+  circuit_test.py:270 default-init contract)."""
+  pqc = circuit_utils.hardware_efficient_ansatz(6, 3)
+  circuit = models.DirectQuantumCircuit(pqc)
+  values = np.concatenate([np.ravel(v) for v in circuit.trainable_variables])
+  assert values.shape[0] == len(circuit.symbol_names)
+  assert (values >= 0).all() and (values < 2).all()
+  # Two instances draw different values (random, not constant).
+  other = models.DirectQuantumCircuit(pqc)
+  assert not np.allclose(
+      values,
+      np.concatenate([np.ravel(v) for v in other.trainable_variables]))
+
+
+def test_pow_inverse_is_behavioral_identity():
+  """Applying c then c**-1 restores the input state (the inverse shares the
+  forward's variables, so this also pins the shared-variable semantics)."""
+  import jax
+  n = 3
+  pqc = circuit_utils.hardware_efficient_ansatz(n, 2)
+  c = models.DirectQuantumCircuit(pqc)
+  inv = c ** -1
+  psi0 = jax.jit(lambda: sv.basis_state(
+      n, jnp.asarray([1, 0, 1], jnp.int32)))()
+
+  @jax.jit
+  def roundtrip(v_fwd, v_inv):
+    psi = sv.apply_circuit(c.pqc, v_fwd, psi0)
+    return sv.apply_circuit(inv.pqc, v_inv, psi)
+
+  psi = roundtrip(c.symbol_values, inv.symbol_values)
+  np.testing.assert_allclose(np.asarray(sv.to_vector(psi)),
+                             np.asarray(sv.to_vector(psi0)), atol=1e-5)
