@@ -85,25 +85,54 @@ def expand_unique_results(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
   return jnp.take(y, idx, axis=0)
 
 
+_TWO_LEVEL_MIN = 4096
+
+
 def categorical_indices(key: jax.Array, logits: jnp.ndarray,
                         num_samples: int) -> jnp.ndarray:
-  """`num_samples` draws from softmax(logits) by inverse-CDF binary search.
+  """`num_samples` draws from softmax(logits) by inverse-CDF search.
 
   `jax.random.categorical` materializes a [num_samples, len(logits)] Gumbel
   noise array -- 65M transcendentals for 1000 shots over a 16-qubit
   distribution, and it dominates every sampled-engine path.  Inverse-CDF
-  costs one normalization pass over the distribution plus log2(len) gathers
-  per sample.  Returns int32 indices, shape [num_samples].
+  costs one normalization pass over the distribution plus a search per
+  sample.
+
+  The search is a branch-free comparison COUNT, not `jnp.searchsorted`:
+  on TPU searchsorted lowers to a serial binary search of per-sample dynamic
+  gathers, measured at 337 ms vs 13 ms for the cumsum itself at the sampled
+  engine's r3 shapes ([1504, 65536] distributions x 1000 shots) -- it was
+  >95% of the whole parameter-shift step.  Counting `cdf[j] <= u` on the VPU
+  is exactly `side="right"` insertion; for large N a two-level (block ends,
+  then one gathered block row) count keeps the compare volume at
+  O(S * 2*sqrt(N)) instead of O(S * N).  Returns int32 [num_samples].
   """
   logits = logits.reshape(-1).astype(jnp.float32)
   w = jnp.exp(logits - jnp.max(logits))
   cdf = jnp.cumsum(w)
-  u = jax.random.uniform(key, (num_samples,), jnp.float32) * cdf[-1]
+  n = cdf.shape[0]
   # uniform() < 1, but u = uniform*cdf[-1] can ROUND UP to exactly cdf[-1]
-  # (float32 ulp at large totals), where side="right" would return len(cdf);
-  # clamp into range.
-  idx = jnp.searchsorted(cdf, u, side="right")
-  return jnp.minimum(idx, cdf.shape[0] - 1).astype(jnp.int32)
+  # (float32 ulp at large totals) where "right" insertion would return n;
+  # the final clamp keeps indices in range.
+  u = jax.random.uniform(key, (num_samples,), jnp.float32) * cdf[-1]
+  if n <= _TWO_LEVEL_MIN:
+    idx = jnp.sum((cdf[None, :] <= u[:, None]).astype(jnp.int32), axis=-1)
+  else:
+    block = 1 << (n.bit_length() // 2)  # ~sqrt(n), power of two
+    nb = -(-n // block)
+    pad = nb * block - n
+    cdfp = cdf if pad == 0 else jnp.concatenate(
+        [cdf, jnp.full([pad], jnp.inf, jnp.float32)])
+    blocks = cdfp.reshape(nb, block)
+    # Block containing the insertion point: count of block ENDS <= u.  All
+    # entries of earlier blocks are <= u (monotone cdf); all entries of
+    # later blocks exceed u (they are >= ends[b] > u).
+    b = jnp.sum((blocks[:, -1][None, :] <= u[:, None]).astype(jnp.int32),
+                axis=-1)
+    b = jnp.minimum(b, nb - 1)
+    within = jnp.sum((blocks[b] <= u[:, None]).astype(jnp.int32), axis=-1)
+    idx = b * block + within
+  return jnp.minimum(idx, n - 1).astype(jnp.int32)
 
 
 class Squeeze:

@@ -71,6 +71,43 @@ class TestQHBM:
     np.testing.assert_allclose(actual, expected, atol=2e-2)
 
 
+  def _data_qhbm(self, energy_kind, seed):
+    n = 2
+    if energy_kind == "kobe":
+      energy = models.KOBE(list(range(n)), 2, nn.RandomUniform(-1, 1,
+                                                               seed=seed))
+    else:
+      energy = models.BernoulliEnergy(list(range(n)),
+                                      nn.RandomUniform(-1, 1, seed=seed))
+    e_infer = ebm.AnalyticEnergyInference(energy, 1000, initial_seed=seed + 1)
+    # Distinct symbol prefix: the observable's circuit_dagger is appended to
+    # the model circuit, and symbol sets must stay disjoint.
+    circ = models.DirectQuantumCircuit(
+        circuit_utils.hardware_efficient_ansatz(n, 2, name="data"),
+        nn.RandomUniform(-1, 1, seed=seed + 2))
+    return qhbm.QHBM(e_infer, qnn.AnalyticQuantumInference(circ))
+
+  def test_expectation_modular_hamiltonian(self):
+    """<K_data>_model equals tr(rho_model K_data) with
+    K = U diag(E(x)) U^dagger, for Bernoulli and KOBE (PauliMixin) data
+    energies (reference qhbm_test.py:211-250)."""
+    for energy_kind in ("bernoulli", "kobe"):
+      model = _simple_qhbm(2, seed=13, num_samples=200000)
+      data = self._data_qhbm(energy_kind, seed=17)
+      k_data = data.modular_hamiltonian
+      actual = float(model.expectation(k_data)[0])
+      u = np.asarray(qnn_utils.unitary(data.q_inference.circuit),
+                     np.complex128)
+      energies = np.asarray(
+          k_data.energy(jnp.asarray(sv.all_bitstrings(2))), np.float64)
+      k_dense = u @ np.diag(energies) @ u.conj().T
+      rho = np.asarray(
+          qhbm_utils.density_matrix(model.modular_hamiltonian), np.complex128)
+      expected = float(np.real(np.trace(rho @ k_dense)))
+      np.testing.assert_allclose(actual, expected, atol=2e-2,
+                                 err_msg=energy_kind)
+
+
 class TestHamiltonianMetrics:
 
   def test_probabilities(self):

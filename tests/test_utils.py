@@ -115,3 +115,41 @@ def test_to_host_complex():
   out = utils.to_host_complex(z)
   assert isinstance(out, np.ndarray)
   np.testing.assert_allclose(out, [[1.0 + 2.0j, -3.0j]], atol=1e-7)
+
+
+def test_categorical_indices_two_level_matches_searchsorted():
+  """The two-level comparison-count path (n > _TWO_LEVEL_MIN) is index-exact
+  with side='right' binary search, including zero-mass runs and boundary u."""
+  rng = np.random.RandomState(3)
+  n = 5000  # > _TWO_LEVEL_MIN, not a power of two (exercises inf padding)
+  logits_np = rng.randn(n).astype(np.float32) * 2
+  logits_np[100:200] = -np.inf  # zero-mass run
+  logits = jnp.asarray(logits_np)
+  num = 20000
+  idx = np.asarray(utils.categorical_indices(jax.random.PRNGKey(9), logits,
+                                             num))
+  # Reference insertion indices from the SAME float32 cdf and u stream the
+  # implementation computes (numpy's exp/cumsum round differently, so the
+  # cdf must come from jax, not be recomputed).
+  cdf = np.asarray(jnp.cumsum(jnp.exp(logits - jnp.max(logits))))
+  u = np.asarray(
+      jax.random.uniform(jax.random.PRNGKey(9), (num,), jnp.float32)
+  ) * cdf[-1]
+  expected = np.minimum(np.searchsorted(cdf, u, side="right"), n - 1)
+  np.testing.assert_array_equal(idx, expected)
+  assert not np.isin(idx, np.arange(100, 200)).any()  # zero-mass never drawn
+
+
+def test_categorical_indices_two_level_distribution():
+  """Empirical frequencies match softmax on the large-n path."""
+  n = 2**13
+  logits = jnp.asarray(np.linspace(-3, 3, n), jnp.float32)
+  num = 400_000
+  idx = np.asarray(utils.categorical_indices(jax.random.PRNGKey(11), logits,
+                                             num))
+  assert idx.min() >= 0 and idx.max() < n
+  probs = np.asarray(jax.nn.softmax(logits), np.float64)
+  # Coarse-grain into 32 buckets for a statistically meaningful comparison.
+  freq = np.bincount(idx, minlength=n) / num
+  np.testing.assert_allclose(freq.reshape(32, -1).sum(-1),
+                             probs.reshape(32, -1).sum(-1), atol=3e-3)
