@@ -146,6 +146,54 @@ def run_workload(name, cfg, measure_steps):
   return sps, flops
 
 
+def measure_pauli_expectations(cfg, iters=16):
+  """BASELINE.md's second headline: PauliSum expectations/sec/chip.
+
+  One "expectation" = <H> of the full TFIM PauliSum (2n-1 terms) for one
+  basis-state-prepared, circuit-evolved state.  Timed as `iters` chained
+  scan iterations inside ONE jit (the tunnel caches identical dispatches;
+  see .claude/skills/verify/SKILL.md), batch = cfg's unique-state count.
+  """
+  import jax
+  import jax.numpy as jnp
+
+  from qhbmlib_tpu import models
+  from qhbmlib_tpu.inference import qnn
+  from qhbmlib_tpu.models import circuit_utils
+  from qhbmlib_tpu.ops import paulis
+
+  n, batch = cfg["n"], cfg["max_unique"]
+  terms = [(-1.0, {q: "X"}) for q in range(n)]
+  terms += [(-1.0, {q: "Z", q + 1: "Z"}) for q in range(n - 1)]
+  target = paulis.pauli_sum_from_strings(n, terms)
+  circuit = models.DirectQuantumCircuit(
+      circuit_utils.hardware_efficient_ansatz(n, cfg["layers"]))
+  q_inf = qnn.AnalyticQuantumInference(circuit)
+  bits = jax.random.bernoulli(
+      jax.random.PRNGKey(2), 0.5, (batch, n)).astype(jnp.int8)
+
+  @jax.jit
+  def run(phi):
+    def body(carry, _):
+      vals = q_inf.expectation_pure(carry, bits, target)  # [batch, 1-ish]
+      bump = jnp.mean(vals) * 1e-9
+      return [p + bump for p in carry], jnp.mean(vals)
+    _, outs = jax.lax.scan(body, list(phi), None, length=iters)
+    return outs
+
+  phi = [jnp.asarray(v) for v in circuit.trainable_variables]
+  run(phi).block_until_ready()  # compile
+  best = float("inf")
+  for _ in range(3):
+    t0 = time.perf_counter()
+    run(phi).block_until_ready()
+    best = min(best, time.perf_counter() - t0)
+  eps = iters * batch / best
+  log(f"[bench:{cfg['n']}q] {iters}x{batch} PauliSum expectations in "
+      f"{best:.3f}s -> {eps:.1f} expectations/s")
+  return eps
+
+
 def cpu_baseline(name, cfg):
   cache = {}
   if os.path.exists(CACHE_PATH):
@@ -220,6 +268,11 @@ def main():
       "vs_baseline_20q": _ratio(sps20, base20),
       "matmul_precision": PRECISION,
   }
+  try:
+    extra["pauli_expectations_per_sec_20q"] = round(
+        measure_pauli_expectations(WORKLOADS["20q"]), 1)
+  except Exception as e:  # never let the extra kill the headline
+    log(f"[bench] expectations/sec measurement failed: {e}")
   if flops24:
     tflops = flops24 * sps24 / 1e12
     extra["flops_per_step_24q"] = flops24
