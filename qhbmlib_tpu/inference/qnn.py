@@ -140,22 +140,27 @@ class AnalyticQuantumInference(QuantumInference):
 # Sampled engine
 # ---------------------------------------------------------------------------
 
-def _measurement_rotation(pqc: ir.Circuit,
+def _measurement_rotation(num_qubits: int,
                           codes: Sequence[int]) -> ir.Circuit:
-  """Appends the basis rotation mapping each term's Paulis onto Z."""
-  b = ir.CircuitBuilder(pqc.num_qubits)
+  """Basis-rotation SUFFIX mapping each term's Paulis onto Z.
+
+  Kept separate from the base circuit (not appended) so the sampled engine
+  simulates the base circuit ONCE per (state, shift) and applies only this
+  constant single-layer suffix per measurement group -- with G groups that
+  is 1 full simulation + G cheap suffixes instead of G full simulations.
+  """
+  b = ir.CircuitBuilder(num_qubits)
   for q, c in enumerate(codes):
     if c == paulis.X:
       b.h(q)
     elif c == paulis.Y:
       b.rx(q, shift=np.pi / 2)  # Rx(pi/2): Y -> Z
-  return pqc.append(b.build())
+  return b.build()
 
 
 def _term_parity_mean(probs: jnp.ndarray, mask: np.ndarray, key, shots: int):
   """Mean parity over `shots` samples of the masked qubits."""
-  logits = jnp.log(jnp.maximum(probs, 1e-38))
-  idx = utils.categorical_indices(key, logits, shots)
+  idx = utils.categorical_indices_from_weights(key, probs, shots)
   n = mask.shape[0]
   bits = ((idx[:, None] >> jnp.asarray(
       np.arange(n - 1, -1, -1), jnp.int32)) & 1)
@@ -204,31 +209,29 @@ def _group_terms(ops):
   return out
 
 
-def _sampled_term_means_one(plan, values, init_bits, key, shots,
+_NO_VALUES = jnp.zeros([0], jnp.float32)
+
+
+def _sampled_term_means_one(plan, pqc, values, init_bits, key, shots,
                             angle_offsets=None):
   """[T] sampled <P_t> (coefficient-free) for one initial state.
 
-  `plan` = (groups, num_terms); one simulation + one shot batch per
-  measurement-basis group, all of the group's term parities estimated from
-  the same samples.
+  `plan` = (groups, num_terms); the base circuit is simulated ONCE, then
+  each measurement-basis group applies its constant rotation suffix + one
+  shot batch, all of the group's term parities estimated from the same
+  samples.
   """
   groups, num_terms = plan
+  n = pqc.num_qubits
+  psi0 = sv.apply_circuit(pqc, values, sv.basis_state(n, init_bits),
+                          angle_offsets=angle_offsets)
   out = jnp.zeros([num_terms], jnp.float32)
-  for gi, (rot_circuit, masks, term_idx) in enumerate(groups):
-    n = rot_circuit.num_qubits
-    state = sv.basis_state(n, init_bits)
-    # angle_offsets apply to the ORIGINAL circuit gates; rotation gates that
-    # were appended are constant, so pad with zeros.
-    offs = None
-    if angle_offsets is not None:
-      pad = rot_circuit.num_gates - angle_offsets.shape[0]
-      offs = jnp.concatenate(
-          [angle_offsets, jnp.zeros([pad], jnp.float32)])
-    psi = sv.apply_circuit(rot_circuit, values, state, angle_offsets=offs)
+  for gi, (rot_suffix, masks, term_idx) in enumerate(groups):
+    psi = (psi0 if rot_suffix.num_gates == 0 else
+           sv.apply_circuit(rot_suffix, _NO_VALUES, psi0))
     probs = sv.probabilities(psi)
-    logits = jnp.log(jnp.maximum(probs, 1e-38))
-    idx = utils.categorical_indices(jax.random.fold_in(key, gi), logits,
-                                    shots)
+    idx = utils.categorical_indices_from_weights(
+        jax.random.fold_in(key, gi), probs, shots)
     bits = sv.index_to_bits(idx, n).astype(jnp.int32)  # [shots, n]
     par = 1 - 2 * ((bits @ jnp.asarray(masks.T, jnp.int32)) % 2)  # [shots,Gt]
     means = jnp.mean(par.astype(jnp.float32), axis=0)
@@ -250,7 +253,7 @@ def _sampled_term_means(plan, pqc: ir.Circuit, shots: int,
   produces bit-identical results to the single-device path.
   """
   def one(bits, k):
-    return _sampled_term_means_one(plan, values, bits, k, shots)
+    return _sampled_term_means_one(plan, pqc, values, bits, k, shots)
 
   return jax.vmap(one)(init_bits, keys)
 
@@ -271,7 +274,7 @@ def _stm_bwd(plan, pqc, shots, res, g):
 
   def eval_one(offset_row, r):
     def per_state(bits, k):
-      return _sampled_term_means_one(plan, values, bits,
+      return _sampled_term_means_one(plan, pqc, values, bits,
                                      jax.random.fold_in(k, r + 1), shots,
                                      angle_offsets=offset_row)
     return jax.vmap(per_state)(init_bits, keys)  # [B, T]
@@ -321,8 +324,8 @@ class SampledQuantumInference(QuantumInference):
     if cache_key not in self._plan_cache:
       groups = []
       for basis_codes, masks, term_idx in _group_terms(ops):
-        groups.append((_measurement_rotation(pqc, basis_codes), masks,
-                       term_idx))
+        groups.append((_measurement_rotation(pqc.num_qubits, basis_codes),
+                       masks, term_idx))
       num_terms = sum(op.num_terms for op in ops)
       slices = []
       start = 0

@@ -1181,8 +1181,7 @@ def sample_indices(key: jax.Array, state: jnp.ndarray,
   """Draws basis-state indices from |psi|^2.  Shape [num_samples], int32."""
   from qhbmlib_tpu import utils
   probs = probabilities(state)
-  logits = jnp.log(jnp.maximum(probs, 1e-38))
-  return utils.categorical_indices(key, logits, num_samples)
+  return utils.categorical_indices_from_weights(key, probs, num_samples)
 
 
 def sample_bitstrings(key: jax.Array, state: jnp.ndarray,

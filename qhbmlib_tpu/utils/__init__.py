@@ -108,7 +108,17 @@ def categorical_indices(key: jax.Array, logits: jnp.ndarray,
   O(S * 2*sqrt(N)) instead of O(S * N).  Returns int32 [num_samples].
   """
   logits = logits.reshape(-1).astype(jnp.float32)
-  w = jnp.exp(logits - jnp.max(logits))
+  return categorical_indices_from_weights(
+      key, jnp.exp(logits - jnp.max(logits)), num_samples)
+
+
+def categorical_indices_from_weights(key: jax.Array, weights: jnp.ndarray,
+                                     num_samples: int) -> jnp.ndarray:
+  """`categorical_indices` on UNNORMALIZED non-negative weights (e.g. |psi|^2
+  probabilities), skipping the softmax exp/max passes -- the sampled engine
+  already holds probabilities, and log->exp roundtripping them costs two
+  extra transcendental passes over [instances, 2^n]."""
+  w = weights.reshape(-1).astype(jnp.float32)
   cdf = jnp.cumsum(w)
   n = cdf.shape[0]
   # uniform() < 1, but u = uniform*cdf[-1] can ROUND UP to exactly cdf[-1]
