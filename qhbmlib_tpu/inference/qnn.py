@@ -158,16 +158,6 @@ def _measurement_rotation(num_qubits: int,
   return b.build()
 
 
-def _term_parity_mean(probs: jnp.ndarray, mask: np.ndarray, key, shots: int):
-  """Mean parity over `shots` samples of the masked qubits."""
-  idx = utils.categorical_indices_from_weights(key, probs, shots)
-  n = mask.shape[0]
-  bits = ((idx[:, None] >> jnp.asarray(
-      np.arange(n - 1, -1, -1), jnp.int32)) & 1)
-  par = 1 - 2 * (jnp.sum(bits * jnp.asarray(mask, jnp.int32), axis=-1) % 2)
-  return jnp.mean(par.astype(jnp.float32))
-
-
 def _group_terms(ops):
   """Greedy qubit-wise-commuting grouping of all terms of all ops.
 
