@@ -199,9 +199,6 @@ def _group_terms(ops):
   return out
 
 
-_NO_VALUES = jnp.zeros([0], jnp.float32)
-
-
 def _sampled_term_means_one(plan, pqc, values, init_bits, key, shots,
                             angle_offsets=None):
   """[T] sampled <P_t> (coefficient-free) for one initial state.
@@ -217,8 +214,12 @@ def _sampled_term_means_one(plan, pqc, values, init_bits, key, shots,
                           angle_offsets=angle_offsets)
   out = jnp.zeros([num_terms], jnp.float32)
   for gi, (rot_suffix, masks, term_idx) in enumerate(groups):
+    # NOTE: the empty values array must be built here, not at module level:
+    # a module-level jnp constant initializes the jax backend at import time,
+    # which breaks dryrun_multichip's pre-init CPU-platform forcing (and can
+    # crash outright when the accelerator plugin is present but broken).
     psi = (psi0 if rot_suffix.num_gates == 0 else
-           sv.apply_circuit(rot_suffix, _NO_VALUES, psi0))
+           sv.apply_circuit(rot_suffix, jnp.zeros([0], jnp.float32), psi0))
     probs = sv.probabilities(psi)
     idx = utils.categorical_indices_from_weights(
         jax.random.fold_in(key, gi), probs, shots)
