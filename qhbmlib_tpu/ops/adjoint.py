@@ -352,6 +352,31 @@ def _store_psi(num_qubits: int, batch: int) -> bool:
   return batch * 8 * (2**num_qubits) <= _PSI_RESIDUAL_BYTES
 
 
+def _pallas_batched_enabled() -> bool:
+  """Opt-in (QHBM_PALLAS_BATCHED=1): run the batch forward/adjoint as
+  grid-over-batch Pallas kernels with shared gate operators and rotation
+  planes (ops/pallas_sv.py `apply_circuit_pallas_batched`,
+  ops/pallas_adjoint.py `adjoint_sweep_batched`)."""
+  import os
+  return os.environ.get("QHBM_PALLAS_BATCHED", "0") == "1"
+
+
+def _use_pallas_batched(circuit, n, batch) -> bool:
+  if not (_pallas_batched_enabled() and _store_psi(n, batch)):
+    return False
+  from qhbmlib_tpu.ops import pallas_adjoint, pallas_sv
+  return (pallas_sv.batched_supported(circuit) and
+          pallas_adjoint.batched_supported(circuit))
+
+
+def _bits_to_rowcol(bits: jnp.ndarray, n: int) -> jnp.ndarray:
+  """[B, n] bitstrings -> [B, 2] (row, col) indices in the [R, C] layout."""
+  m = sv.minor_bits(n)
+  nr = n - m
+  return jnp.stack([sv.bits_to_index(bits[:, :nr], nr),
+                    sv.bits_to_index(bits[:, nr:], m)], axis=1)
+
+
 def _bt_fwd(circuit, hop, batch_chunk, symbol_values, init_bits):
   op = hop.ones()
   n = circuit.num_qubits
@@ -362,6 +387,27 @@ def _bt_fwd(circuit, hop, batch_chunk, symbol_values, init_bits):
 
   batch = init_bits.shape[0]
   chunks, _ = _chunked(init_bits, batch_chunk)
+  if _use_pallas_batched(circuit, n, batch):
+    from qhbmlib_tpu.ops import pallas_sv
+
+    def _xla_psis(values, bits_chunks):
+      ps = jax.lax.map(
+          jax.vmap(lambda b: sv.apply_circuit(circuit, values,
+                                              sv.basis_state(n, b))),
+          bits_chunks)
+      return ps.reshape((-1,) + ps.shape[2:])
+
+    psis = jax.lax.platform_dependent(
+        symbol_values, chunks,
+        tpu=lambda values, _: pallas_sv.apply_circuit_pallas_batched(
+            circuit, values, _bits_to_rowcol(
+                chunks.reshape(-1, n), n)),
+        default=_xla_psis)
+    out = jax.lax.map(
+        jax.vmap(lambda p: sv.expectation_terms(p, op)),
+        psis.reshape((-1, batch_chunk) + psis.shape[1:]))
+    out = out.reshape(-1, op.num_terms)[:batch]
+    return out, (symbol_values, init_bits, psis[:batch])
   if _store_psi(n, batch):
     out, psis = jax.lax.map(jax.vmap(one), chunks)
     out = out.reshape(-1, op.num_terms)[:batch]
@@ -376,6 +422,36 @@ def _bt_bwd(circuit, hop, batch_chunk, res, g):
   op = hop.ones()
   n = circuit.num_qubits
   batch = init_bits.shape[0]
+  if _use_pallas_batched(circuit, n, batch):
+    from qhbmlib_tpu.ops import pallas_adjoint
+    # psis is the flat [B, R, C] residual.  lam_i = sum_t g_it P_t |psi_i>
+    # is built chunk-wise by XLA (tiered Pauli applies), then ONE
+    # grid-over-batch kernel runs every reverse sweep with shared operators
+    # and rotation planes.
+    ones_op = paulis.PauliSum(op.codes, jnp.ones_like(op.coeffs),
+                              op.num_qubits)
+    pad = (-batch) % batch_chunk
+    psi_pad = psis
+    g_pad = g
+    if pad:
+      psi_pad = jnp.concatenate(
+          [psis, jnp.zeros((pad,) + psis.shape[1:], psis.dtype)], axis=0)
+      g_pad = jnp.concatenate(
+          [g, jnp.zeros([pad, g.shape[1]], g.dtype)], axis=0)
+    psi_chunks = psi_pad.reshape((-1, batch_chunk) + psis.shape[1:])
+    g_chunks = g_pad.reshape(-1, batch_chunk, g.shape[1])
+    lams = jax.lax.map(
+        lambda xs: jax.vmap(
+            lambda p, gg: sv.apply_pauli_sum(p, ones_op, term_weights=gg))(
+                xs[0], xs[1]),
+        (psi_chunks, g_chunks)).reshape(psi_pad.shape)
+    # Padded rows carry g == 0 => lam == 0 => zero gradient contribution.
+    total = jax.lax.platform_dependent(
+        symbol_values, psi_pad, lams,
+        tpu=functools.partial(pallas_adjoint.adjoint_sweep_batched, circuit),
+        default=functools.partial(_xla_states_sweep, circuit, op,
+                                  batch_chunk))
+    return total, None
   chunks, pad = _chunked(init_bits, batch_chunk)
   g_pad = jnp.concatenate(
       [g, jnp.zeros([pad, g.shape[1]], g.dtype)], axis=0) if pad else g
@@ -405,6 +481,24 @@ def _bt_bwd(circuit, hop, batch_chunk, res, g):
   total, _ = jax.lax.scan(body, jnp.zeros_like(symbol_values),
                           (chunks, g_chunks))
   return total, None
+
+
+def _xla_states_sweep(circuit, op, batch_chunk, symbol_values, psis, lams):
+  """Batch-summed gradients from materialized (psi, lam) pairs via the XLA
+  reverse sweep (the non-TPU branch of the pallas-batched path)."""
+  psi_chunks = psis.reshape((-1, batch_chunk) + psis.shape[1:])
+  lam_chunks = lams.reshape((-1, batch_chunk) + lams.shape[1:])
+
+  def body(acc, xs):
+    psi_c, lam_c = xs
+    grads = jax.vmap(
+        lambda p, l: _xla_reverse_sweep(circuit, op, None, symbol_values, p,
+                                        l))(psi_c, lam_c)
+    return acc + jnp.sum(grads, axis=0), None
+
+  total, _ = jax.lax.scan(body, jnp.zeros_like(symbol_values),
+                          (psi_chunks, lam_chunks))
+  return total
 
 
 _batched_terms.defvjp(_bt_fwd, _bt_bwd)

@@ -64,7 +64,8 @@ def supported(circuit: ir.Circuit) -> bool:
   return pallas_sv.supported(circuit)
 
 
-def _prepare_backward(circuit: ir.Circuit, angles, shape_rc):
+def _prepare_backward(circuit: ir.Circuit, angles, shape_rc,
+                      rot_planes: bool = False):
   """Static reverse-stage descriptors + traced inputs + assembly plan.
 
   Returns (descs, inputs, plan):
@@ -73,6 +74,11 @@ def _prepare_backward(circuit: ir.Circuit, angles, shape_rc):
     plan:  static assembly records, one per desc, used OUTSIDE the kernel
            to turn the kernel's reduction outputs into (slot, dangle)
            gradient terms.
+
+  With `rot_planes` (the batched kernel), diagonal segments carry
+  PRECOMPUTED [R, C] cos/sin planes of the total segment phase (computed
+  once by XLA, shared across the batch) instead of the in-kernel
+  sign-matmul; the parity masks stay as inputs for the gradient bilinears.
   """
   r, c = shape_rc
   n = circuit.num_qubits
@@ -156,8 +162,15 @@ def _prepare_backward(circuit: ir.Circuit, angles, shape_rc):
            for k in range(len(coeffs))])
       rmask = jnp.asarray(np.asarray(rms, np.int32)[None, :])  # [1, K]
       cmask = jnp.asarray(np.asarray(cms, np.int32)[:, None])  # [K, 1]
-      descs.append(("bwddiag", len(rms)))
-      inputs.append((weighted[None, :], rmask, cmask))
+      if rot_planes:
+        theta = sv.diag_segment_phase(seg_gates, seg_angles, shape_rc)
+        dt = pallas_sv.rot_plane_dtype()
+        descs.append(("bwddiagrot", len(rms)))
+        inputs.append((rmask, cmask, jnp.cos(theta).astype(dt),
+                       jnp.sin(theta).astype(dt)))
+      else:
+        descs.append(("bwddiag", len(rms)))
+        inputs.append((weighted[None, :], rmask, cmask))
       grad_gates = tuple(
           (g_idx, seg_gates[g_idx].slot, seg_gates[g_idx].coeff)
           for g_idx in range(len(seg_gates)) if seg_gates[g_idx].slot >= 0)
@@ -240,14 +253,28 @@ def _block_transition_parts(l_re, l_im, a_re, a_im, start, k, r, c):
 
 
 def _make_bwd_kernel(descs, r, c, t_count, num_inputs_per_period,
-                     num_outputs_per_period):
+                     num_outputs_per_period, batched: bool = False):
   """Reverse-sweep kernel body.  Input refs: [a_re, a_im, l_re, l_im] +
   per-desc inputs (leading [T] when t_count > 1).  Output refs: reduction
-  arrays in desc order (leading [T] when t_count > 1)."""
+  arrays in desc order (leading [T] when t_count > 1).
+
+  With `batched`, the state planes are [1, R, C] grid blocks (one state per
+  grid step) and every output ref carries a leading [1] batch-block axis."""
 
   def run_period(t, a_re, a_im, l_re, l_im, in_refs, out_refs, rows, cols):
     def rd(ref):
       return ref[t] if t is not None else ref[:]
+
+    def wr(ref, val):
+      if batched:
+        if t is not None:
+          ref[0, t] = val
+        else:
+          ref[0] = val
+      elif t is not None:
+        ref[t] = val
+      else:
+        ref[:] = val
 
     pos = 4
     out_pos = 0
@@ -268,22 +295,14 @@ def _make_bwd_kernel(descs, r, c, t_count, num_inputs_per_period,
           if needs_grad:
             g_re, g_im = _block_transition_parts(l_re, l_im, a_re, a_im,
                                                  start, k, r, c)
-            if t is not None:
-              out_refs[out_pos][t] = g_re
-              out_refs[out_pos + 1][t] = g_im
-            else:
-              out_refs[out_pos][:] = g_re
-              out_refs[out_pos + 1][:] = g_im
+            wr(out_refs[out_pos], g_re)
+            wr(out_refs[out_pos + 1], g_im)
             out_pos += 2
         if minor_grads:
           k_re = _dot_t(l_re, a_re) + _dot_t(l_im, a_im)
           k_im = _dot_t(l_re, a_im) - _dot_t(l_im, a_re)
-          if t is not None:
-            out_refs[out_pos][t] = k_re
-            out_refs[out_pos + 1][t] = k_im
-          else:
-            out_refs[out_pos][:] = k_re
-            out_refs[out_pos + 1][:] = k_im
+          wr(out_refs[out_pos], k_re)
+          wr(out_refs[out_pos + 1], k_im)
           out_pos += 2
         # (2) un-apply both states.
         for (start, k, _), (m_re, m_im) in zip(blocks, block_mats):
@@ -299,29 +318,37 @@ def _make_bwd_kernel(descs, r, c, t_count, num_inputs_per_period,
           y_re = _dot(l_re, mt_re) - _dot(l_im, mt_im)
           y_im = _dot(l_re, mt_im) + _dot(l_im, mt_re)
           l_re, l_im = y_re, y_im
-      else:  # bwddiag
-        w_row = rd(in_refs[pos])
-        rmask = rd(in_refs[pos + 1])
-        cmask = rd(in_refs[pos + 2])
-        pos += 3
-        s_r = pallas_sv._sign_matrix(rows, rmask)
-        s_c = pallas_sv._sign_matrix(cols, cmask)
+      else:  # bwddiag / bwddiagrot
+        if kind == "bwddiagrot":
+          rmask = rd(in_refs[pos])
+          cmask = rd(in_refs[pos + 1])
+          cth = rd(in_refs[pos + 2]).astype(jnp.float32)
+          sth = rd(in_refs[pos + 3]).astype(jnp.float32)
+          pos += 4
+          s_r = pallas_sv._sign_matrix(rows, rmask)
+          s_c = pallas_sv._sign_matrix(cols, cmask)
+        else:
+          w_row = rd(in_refs[pos])
+          rmask = rd(in_refs[pos + 1])
+          cmask = rd(in_refs[pos + 2])
+          pos += 3
+          s_r = pallas_sv._sign_matrix(rows, rmask)
+          s_c = pallas_sv._sign_matrix(cols, cmask)
         # (1) per-factor bilinears: s_r_k^T P s_c_k with
         # P = Im(conj(lam) * a) = l_re*a_im - l_im*a_re.
         p = l_re * a_im - l_im * a_re
         w2 = _dot_rt(p, s_c)  # [R, K]
         ones_row = jnp.ones((1, r), jnp.float32)
         bilin = _dot(ones_row, s_r * w2)  # [1, K]
-        if t is not None:
-          out_refs[out_pos][t] = bilin
-        else:
-          out_refs[out_pos][:] = bilin
+        wr(out_refs[out_pos], bilin)
         out_pos += 1
         # (2) un-apply: rotate both states by exp(-i*theta); one theta +
-        # one cos/sin pair shared between the two states.
-        theta = _dot(s_r * w_row, s_c)
-        cth = jnp.cos(theta)
-        sth = jnp.sin(theta)  # note: un-apply uses -theta => sin -> -sth
+        # one cos/sin pair shared between the two states ("rot": the planes
+        # were precomputed outside and shared across the batch).
+        if kind == "bwddiag":
+          theta = _dot(s_r * w_row, s_c)
+          cth = jnp.cos(theta)
+          sth = jnp.sin(theta)  # un-apply uses -theta => sin -> -sth
         y_re = cth * a_re + sth * a_im
         y_im = cth * a_im - sth * a_re
         a_re, a_im = y_re, y_im
@@ -335,10 +362,16 @@ def _make_bwd_kernel(descs, r, c, t_count, num_inputs_per_period,
     out_refs = refs[-num_outputs_per_period:]
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-    a_re = in_refs[0][:]
-    a_im = in_refs[1][:]
-    l_re = in_refs[2][:]
-    l_im = in_refs[3][:]
+    if batched:
+      a_re = in_refs[0][0]
+      a_im = in_refs[1][0]
+      l_re = in_refs[2][0]
+      l_im = in_refs[3][0]
+    else:
+      a_re = in_refs[0][:]
+      a_im = in_refs[1][:]
+      l_re = in_refs[2][:]
+      l_im = in_refs[3][:]
     if t_count > 1:
       # descs/inputs were built from the REVERSED segment list, so stacked
       # index t=0 is already the last layer: iterate forward.
@@ -481,3 +514,93 @@ def adjoint_sweep(circuit: ir.Circuit,
   if not isinstance(outputs, (tuple, list)):
     outputs = (outputs,)
   return _assemble_grads(plan, tuple(outputs), t_count, c, symbol_values)
+
+
+def batched_supported(circuit: ir.Circuit) -> bool:
+  """Gate support + VMEM estimate for the batched reverse sweep: diag
+  rotation planes stay resident while 4 state planes stream per grid step."""
+  if not supported(circuit):
+    return False
+  plane = 4 * 2**circuit.num_qubits
+  n_diag = sum(1 for cls, _ in sv.segment_circuit(circuit.gates)
+               if cls == "diag")
+  resident = (2 * n_diag + 14) * plane
+  return resident <= int(
+      os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20))
+
+
+def adjoint_sweep_batched(circuit: ir.Circuit,
+                          symbol_values: jnp.ndarray,
+                          psi: jnp.ndarray,
+                          lam: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+  """BATCH-summed values_bar [num_symbols] from one grid-over-batch kernel.
+
+  `psi`/`lam` are [B, R, C]; the grid runs one reverse sweep per state while
+  the inverse gate operators and the diagonal segments' cos/sin rotation
+  planes (computed ONCE outside, sv.diag_segment_phase) stay VMEM-resident
+  and shared across the batch — the per-state sign matmuls + transcendentals
+  that dominated the vmapped variant's VPU residual are paid once per batch.
+  Per-state gradient reductions land in [B]-blocked outputs and are summed
+  outside (the batch-level VJP sums per-state gradients anyway —
+  ops/adjoint.py `_bt_bwd`)."""
+  bsz, r, c = psi.shape
+  angles = [sv.resolve_angle(gate, symbol_values) for gate in circuit.gates]
+  descs, inputs, plan = _prepare_backward(circuit, angles, (r, c),
+                                          rot_planes=True)
+  per_period, t_count = pallas_sv._find_period(descs)
+  if t_count > 1:
+    period_plan = []
+    for j in range(per_period):
+      kind, info0 = plan[j]
+      per_t_list = [plan[t * per_period + j][1] for t in range(t_count)]
+      merged = dict(info0)
+      merged["per_t"] = per_t_list
+      period_plan.append((kind, merged))
+    plan = period_plan
+    inputs = pallas_sv._flatten_inputs(inputs, per_period, t_count)
+    descs = descs[:per_period]
+  else:
+    inputs = pallas_sv._flatten_inputs(inputs, per_period, 1)
+
+  per_state_shapes = _out_shapes_for(descs, r, c, t_count)
+  num_out = len(per_state_shapes)
+  if num_out == 0:
+    return jnp.zeros_like(symbol_values)
+  kernel = _make_bwd_kernel(descs, r, c, t_count, len(inputs) + 4, num_out,
+                            batched=True)
+
+  planes = [jnp.real(psi).astype(jnp.float32),
+            jnp.imag(psi).astype(jnp.float32),
+            jnp.real(lam).astype(jnp.float32),
+            jnp.imag(lam).astype(jnp.float32)]
+  all_inputs = planes + list(inputs)
+  out_shapes = tuple(
+      jax.ShapeDtypeStruct((bsz,) + s.shape, s.dtype)
+      for s in per_state_shapes)
+  kw = {} if interpret else {"memory_space": pltpu.VMEM}
+  state_spec = pl.BlockSpec((1, r, c), lambda i: (i, 0, 0), **kw)
+  shared_specs = [pl.BlockSpec(**kw) for _ in inputs]
+  specs = [state_spec] * 4 + shared_specs
+  out_specs = tuple(
+      pl.BlockSpec((1,) + s.shape,
+                   (lambda nd: lambda i: (i,) + (0,) * nd)(len(s.shape)),
+                   **kw) for s in per_state_shapes)
+  kwargs = {}
+  if not interpret and pltpu is not None:
+    kwargs["compiler_params"] = pltpu.CompilerParams(
+        vmem_limit_bytes=int(
+            os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20)))
+  outputs = pl.pallas_call(
+      kernel,
+      grid=(bsz,),
+      out_shape=out_shapes,
+      in_specs=specs,
+      out_specs=out_specs,
+      interpret=interpret,
+      **kwargs,
+  )(*all_inputs)
+  if not isinstance(outputs, (tuple, list)):
+    outputs = (outputs,)
+  summed = tuple(o.sum(axis=0) for o in outputs)
+  return _assemble_grads(plan, summed, t_count, c, symbol_values)

@@ -296,6 +296,210 @@ def _flatten_inputs(inputs, per_period: int, t_count: int):
 
 
 # ---------------------------------------------------------------------------
+# Natively BATCHED whole-circuit kernel (grid over the state batch)
+# ---------------------------------------------------------------------------
+#
+# The per-state kernel above loses at the train-step level when vmapped over
+# the unique-bitstring batch: vmap-of-pallas_call lowers to a SERIAL chain of
+# independent kernels, each re-fetching the shared gate operators and
+# re-computing the diagonal segments' sign matmuls + cos/sin rotations
+# (measured: the in-VMEM residual over the HBM roofline is exactly that VPU
+# work -- benchmarks/RESULTS.md).  This kernel instead makes the batch the
+# Pallas GRID: one kernel invocation, grid=(B,), one basis state initialized,
+# evolved and written back per grid step, while
+#
+#   * the folded row-block/minor operators AND the diagonal segments'
+#     rotation planes (cos/sin of the total phase angle, computed ONCE by
+#     XLA outside the kernel via sv.diag_segment_phase) ride along as
+#     constant-index inputs -- fetched into VMEM once and shared by all B
+#     states;
+#   * initial BASIS states are built in-kernel from (row, col) indices (one
+#     iota compare), so the batch's input traffic is B*8 bytes instead of
+#     B*2^n*8;
+#   * Mosaic's grid pipeline double-buffers the per-state output writes
+#     against the next step's compute.
+#
+# Per-state work drops to the irreducible MXU contractions plus 4 elementwise
+# multiply-adds per diagonal segment.
+
+def rot_plane_dtype():
+  """Rotation planes are stored bf16 under the 1-pass 'default' MXU
+  precision mode (the plane product is elementwise VPU work upcast to f32;
+  bf16 storage halves their VMEM residency, which is what lets the 20q/4L
+  headline shape fit -- the kernel family's register spill slots alone run
+  ~84MB at 20q).  Under 'high'/'highest' the planes stay f32 and the VMEM
+  gate admits fewer (smaller) shapes."""
+  p = sv.matmul_precision()
+  if p in (None, jax.lax.Precision.DEFAULT):
+    return jnp.bfloat16
+  return jnp.float32
+
+
+def _prepare_segments_rot(circuit: ir.Circuit, angles, shape_rc):
+  """Like _prepare_segments, but diagonal segments are emitted as
+  PRECOMPUTED rotation planes ("diag_rot": cos/sin of the total segment
+  phase, [R, C] each) instead of in-kernel sign matmuls.  The planes are
+  batch-invariant: XLA computes them once per call."""
+  r, c = shape_rc
+  gates = circuit.gates
+  descs = []
+  inputs = []
+  for cls, idxs in sv.segment_circuit(gates):
+    seg_gates = [gates[i] for i in idxs]
+    seg_angles = [angles[i] for i in idxs]
+    if cls == "1q":
+      sub_descs, sub_inputs = _prepare_segments(
+          ir.Circuit(circuit.num_qubits, tuple(seg_gates),
+                     circuit.symbol_names), seg_angles, shape_rc)
+      descs.extend(sub_descs)
+      inputs.extend(sub_inputs)
+    else:
+      theta = sv.diag_segment_phase(seg_gates, seg_angles, shape_rc)
+      dt = rot_plane_dtype()
+      descs.append(("diag_rot", None))
+      inputs.append((jnp.cos(theta).astype(dt), jnp.sin(theta).astype(dt)))
+  return tuple(descs), inputs
+
+
+def _make_batched_kernel(descs, r, c, t_count):
+  """Grid-over-batch kernel body: refs = [rowcol] + inputs + (out_re, out_im).
+
+  rowcol is an SMEM [B, 2] int32 array of (row, col) basis indices; the
+  output blocks are [1, R, C] slices at grid position b."""
+
+  def apply_period(t, x_re, x_im, in_refs):
+    def rd(ref):
+      return ref[t] if t is not None else ref[:]
+
+    pos = 1  # refs[0] is rowcol
+    for kind, meta in descs:
+      if kind == "rowblock":
+        start, k = meta
+        m_re, m_im = rd(in_refs[pos]), rd(in_refs[pos + 1])
+        pos += 2
+        x_re, x_im = _apply_rowblock(x_re, x_im, m_re, m_im, start, k, r, c)
+      elif kind == "minor_mm":
+        mt_re, mt_im = rd(in_refs[pos]), rd(in_refs[pos + 1])
+        pos += 2
+        y_re = _dot(x_re, mt_re) - _dot(x_im, mt_im)
+        y_im = _dot(x_re, mt_im) + _dot(x_im, mt_re)
+        x_re, x_im = y_re, y_im
+      else:  # diag_rot
+        cth = rd(in_refs[pos]).astype(jnp.float32)
+        sth = rd(in_refs[pos + 1]).astype(jnp.float32)
+        pos += 2
+        y_re = cth * x_re - sth * x_im
+        y_im = cth * x_im + sth * x_re
+        x_re, x_im = y_re, y_im
+    return x_re, x_im
+
+  def kernel(*refs):
+    in_refs = refs[:-2]
+    out_re, out_im = refs[-2], refs[-1]
+    b = pl.program_id(0)
+    row = in_refs[0][b, 0]
+    col = in_refs[0][b, 1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    x_re = jnp.where((rows == row) & (cols == col), 1.0, 0.0).astype(
+        jnp.float32)
+    x_im = jnp.zeros((r, c), jnp.float32)
+    if t_count > 1:
+      x_re, x_im = jax.lax.fori_loop(
+          0, t_count,
+          lambda t, carry: apply_period(t, carry[0], carry[1], in_refs),
+          (x_re, x_im))
+    else:
+      x_re, x_im = apply_period(None, x_re, x_im, in_refs)
+    out_re[0] = x_re
+    out_im[0] = x_im
+
+  return kernel
+
+
+def _vmem_budget_bytes() -> int:
+  return int(os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20))
+
+
+# Physical VMEM on v5e/v5p-class chips; Mosaic reports OOM against this.
+_PHYS_VMEM_BYTES = 128 << 20
+
+
+def _rot_plane_bytes(circuit: ir.Circuit) -> int:
+  n_diag = sum(1 for cls, _ in sv.segment_circuit(circuit.gates)
+               if cls == "diag")
+  per_el = 2 if rot_plane_dtype() == jnp.bfloat16 else 4
+  return 2 * n_diag * per_el * 2**circuit.num_qubits
+
+
+def batched_supported(circuit: ir.Circuit) -> bool:
+  """Gate support + a VMEM budget check.
+
+  Measured at 20q/4L (Mosaic OOM report): the kernel family's register
+  spill slots run ~21 f32 planes, plus 4 planes of double-buffered output
+  windows; the resident rotation planes come on top.  131.56M > 128M with
+  f32 planes, fits with bf16 -- hence the precision-gated plane dtype."""
+  if not supported(circuit):
+    return False
+  plane = 4 * 2**circuit.num_qubits  # one f32 [R, C] plane
+  return 25 * plane + _rot_plane_bytes(circuit) <= _PHYS_VMEM_BYTES
+
+
+def apply_circuit_pallas_batched(circuit: ir.Circuit,
+                                 symbol_values: jnp.ndarray,
+                                 init_rowcol: jnp.ndarray,
+                                 interpret: bool = False) -> jnp.ndarray:
+  """Evolves B basis states through the circuit in ONE grid-over-batch
+  kernel.
+
+  Args:
+    circuit: supported circuit IR (see batched_supported).
+    symbol_values: [num_symbols] shared parameters.
+    init_rowcol: [B, 2] int32 (row, col) indices of the initial basis
+      states in the [R, C] state layout (sv.basis_state's coordinates).
+    interpret: run in the Pallas interpreter (tests).
+
+  Returns:
+    [B, R, C] complex64 final states.
+  """
+  n = circuit.num_qubits
+  r, c = sv.state_shape(n)
+  b = init_rowcol.shape[0]
+  angles = [sv.resolve_angle(gate, symbol_values) for gate in circuit.gates]
+  descs, inputs = _prepare_segments_rot(circuit, angles, (r, c))
+  per_period, t_count = _find_period(descs)
+  inputs = _flatten_inputs(inputs, per_period, t_count)
+  kernel = _make_batched_kernel(descs[:per_period], r, c, t_count)
+
+  all_inputs = [init_rowcol.astype(jnp.int32)] + inputs
+  out_shape = (jax.ShapeDtypeStruct((b, r, c), jnp.float32),
+               jax.ShapeDtypeStruct((b, r, c), jnp.float32))
+  state_spec_kw = {} if interpret else {"memory_space": pltpu.VMEM}
+  if interpret:
+    specs = [pl.BlockSpec() for _ in all_inputs]
+  else:
+    specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] +
+             [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in inputs])
+  out_specs = tuple(
+      pl.BlockSpec((1, r, c), lambda i: (i, 0, 0), **state_spec_kw)
+      for _ in range(2))
+  kwargs = {}
+  if not interpret and pltpu is not None:
+    kwargs["compiler_params"] = pltpu.CompilerParams(
+        vmem_limit_bytes=_vmem_budget_bytes())
+  o_re, o_im = pl.pallas_call(
+      kernel,
+      grid=(b,),
+      out_shape=out_shape,
+      in_specs=specs,
+      out_specs=out_specs,
+      interpret=interpret,
+      **kwargs,
+  )(*all_inputs)
+  return (o_re + 1j * o_im).astype(sv.COMPLEX_DTYPE)
+
+
+# ---------------------------------------------------------------------------
 # Tiled fused 1q-segment kernel for BIG states (state does not fit VMEM)
 # ---------------------------------------------------------------------------
 #

@@ -114,6 +114,46 @@ def test_apply_majors_and_minor_fused_flag_cpu(monkeypatch):
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
+@pytest.mark.skipif(not pallas_sv.supported(
+    circuit_utils.hardware_efficient_ansatz(9, 1)),
+                    reason="pallas TPU backend unavailable")
+def test_batched_matches_dense_interpret():
+  """Grid-over-batch kernel: B basis states through one kernel vs the dense
+  engine applied per state."""
+  n, layers, batch = 9, 3, 5
+  pqc = circuit_utils.hardware_efficient_ansatz(n, layers)
+  values = jnp.asarray(
+      np.random.RandomState(3).uniform(-1, 1, pqc.num_symbols), jnp.float32)
+  rng = np.random.RandomState(0)
+  bits = jnp.asarray(rng.randint(0, 2, (batch, n)), jnp.int8)
+  m = sv.minor_bits(n)
+  nr = n - m
+  rowcol = jnp.stack([sv.bits_to_index(bits[:, :nr], nr),
+                      sv.bits_to_index(bits[:, nr:], m)], axis=1)
+  got = pallas_sv.apply_circuit_pallas_batched(pqc, values, rowcol,
+                                               interpret=True)
+  want = jnp.stack([
+      sv.apply_circuit(pqc, values, sv.basis_state(n, bits[i]))
+      for i in range(batch)])
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_batched_supported_budget(monkeypatch):
+  """The VMEM gate admits the 20q/4L headline shape under the bf16-plane
+  ('default' MXU) mode, rejects it under 'high' (f32 planes, measured OOM:
+  131.56M > 128M), and rejects 22q outright."""
+  if pallas_sv.pltpu is None:
+    pytest.skip("pallas TPU backend unavailable")
+  monkeypatch.setenv("QHBM_MATMUL_PRECISION", "default")
+  assert pallas_sv.batched_supported(
+      circuit_utils.hardware_efficient_ansatz(20, 4))
+  assert not pallas_sv.batched_supported(
+      circuit_utils.hardware_efficient_ansatz(22, 4))
+  monkeypatch.setenv("QHBM_MATMUL_PRECISION", "high")
+  assert not pallas_sv.batched_supported(
+      circuit_utils.hardware_efficient_ansatz(20, 4))
+
+
 def test_supported_gate_detection():
   assert pallas_sv.supported(
       circuit_utils.hardware_efficient_ansatz(10, 2)) == (
