@@ -114,6 +114,69 @@ class TestAnalyticEnergyInference:
       np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-3,
                                  atol=1e-5)
 
+  def test_expectation_nested_structure(self):
+    """Pytree-valued f mixing pathwise and score gradients, vs stencil
+    (analog of reference ebm_test.py:457-512 nested-structure test)."""
+    n = 3
+    num_units = 5
+    energy = _random_kobe(n, seed=8)
+    infer = ebm.AnalyticEnergyInference(energy, 500, exact=True)
+    key = jax.random.PRNGKey(0)
+
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(42), 3)
+    dense_w = jax.random.uniform(k0, (n, num_units), minval=1.0, maxval=2.0)
+    dense_b = jax.random.uniform(k1, (num_units,), minval=1.0, maxval=2.0)
+    scalar = jnp.float32(1.37)
+
+    def f(fp, bits):
+      w, b, s, th = fp
+      x = bits.astype(jnp.float32)
+      reduced = jnp.sum(x, -1)
+      # Nested structure: [scalar-per-sample, vector, [theta-dependent matrix]]
+      return [s * reduced, x @ w + b,
+              [jnp.einsum("i,j->ij", reduced, th[0])]]
+
+    theta0 = energy.trainable_variables
+    # Fixed cotangents contract the pytree output to a scalar so both the
+    # pathwise (through fp) and score (through theta) terms are exercised.
+    cot_vec = jax.random.uniform(k2, (num_units,), minval=0.5, maxval=1.5)
+
+    def loss(theta):
+      out = infer.expectation_pure(
+          theta, f, (dense_w, dense_b, scalar, theta), key)
+      s_avg, v_avg, (m_avg,) = out
+      return (s_avg + jnp.sum(cot_vec * v_avg) +
+              jnp.sum(m_avg * jnp.arange(1.0, m_avg.size + 1.0).reshape(
+                  m_avg.shape)))
+
+    actual = test_util.jit_toggle(jax.grad(loss))(theta0)
+    expected = test_util.approximate_gradient(loss, theta0)
+    for a, e in zip(actual, expected):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-3,
+                                 atol=1e-5)
+      assert np.abs(np.asarray(e)).max() > 1e-4  # non-zero guard
+
+    # Value check: expectation equals the explicit softmax(-E) average.
+    out = infer.expectation_pure(
+        theta0, f, (dense_w, dense_b, scalar, theta0), key)
+    bits = infer.all_bitstrings
+    probs = np.asarray(jax.nn.softmax(-energy(bits)), np.float64)
+    vals = f((dense_w, dense_b, scalar, theta0), bits)
+    for got, want in zip(jax.tree_util.tree_leaves(out),
+                         jax.tree_util.tree_leaves(vals)):
+      w = probs.reshape((-1,) + (1,) * (np.asarray(want).ndim - 1))
+      np.testing.assert_allclose(np.asarray(got),
+                                 (w * np.asarray(want)).sum(0), rtol=1e-4)
+
+    # Unconnected parameter receives an exactly-zero gradient.
+    def loss_mu(mu):
+      out = infer.expectation_pure(
+          theta0, f, (dense_w, dense_b, scalar, theta0), key)
+      return jax.tree_util.tree_reduce(
+          lambda acc, x: acc + jnp.sum(x), out, 0.0) + 0.0 * jnp.sum(mu * 0.0)
+    g_mu = jax.grad(loss_mu)(jnp.ones((3,)))
+    np.testing.assert_array_equal(np.asarray(g_mu), 0.0)
+
   def test_too_many_bits_raises(self):
     with pytest.raises(ValueError):
       ebm.AnalyticEnergyInference(_random_kobe(2), 10).__class__(
