@@ -199,3 +199,24 @@ class TestSampledQuantumInference:
     assert samples.shape == (2, 5, n)
     np.testing.assert_array_equal(np.asarray(mask),
                                   [[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]])
+
+  def test_sample_uneven(self):
+    """No discrepancy in sample statistics when count entries differ
+    (analog of reference qnn_test.py test_sample_uneven)."""
+    n = 1
+    # rx(pi/2)|0> has equal |0>/|1> probabilities (the reference uses H).
+    circ = models.DirectQuantumCircuit(circuit_utils.rx_ansatz(n),
+                                       nn.Constant(np.pi / 2))
+    q_infer = qnn.SampledQuantumInference(circ, 100, initial_seed=11)
+    big, small = 100000, 50000
+    bits = jnp.asarray([[0], [0]], jnp.int8)
+    counts = jnp.asarray([small, big])
+    samples, mask = q_infer.sample(bits, counts)
+    samples = np.asarray(samples)[..., 0]
+    mask = np.asarray(mask)
+    assert mask.sum(axis=1).tolist() == [small, big]
+    # Each row should be ~half ones among its masked-valid entries.
+    frac = (samples * mask).sum(axis=1) / mask.sum(axis=1)
+    np.testing.assert_allclose(frac, [0.5, 0.5], atol=1e-2)
+    # And the two rows agree with each other despite different counts.
+    np.testing.assert_allclose(frac[0], frac[1], atol=1e-2)
