@@ -9,12 +9,32 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
 
 from benchmarks import ladder
+
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+  # The env var alone is IGNORED when an accelerator plugin is present
+  # (see .claude/skills/verify/SKILL.md) -- a "CPU" run would initialize
+  # the tunneled backend and hang if the tunnel is down.  Force it.
+  jax.config.update("jax_platforms", "cpu")
+else:
+  # Persistent compilation cache: shields re-runs from compile-service
+  # latency on the tunneled backend (ladder rungs compile for 30s-4min).
+  # Harmless if the backend ignores it; skipped on CPU runs, where XLA:CPU
+  # AOT entries are machine-feature-pinned and can SIGILL on another host.
+  try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_compile_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+  except Exception:
+    pass
 
 
 def run_rung(name: str, steps: int, smoke: bool, qubits=None) -> dict:
