@@ -27,6 +27,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 BETA = 1.2
@@ -245,6 +246,95 @@ def _enable_compile_cache():
     log(f"[bench] compilation cache unavailable: {e}")
 
 
+LAST_TPU_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "last_tpu_bench.json")
+
+
+def _run_accel_child():
+  """Run the accelerator measurement in a watched child process.
+
+  The tunneled backend can hang indefinitely (jax.devices() never returns
+  when the tunnel is down -- observed 2026-08-17/18), and a hung bench run
+  records nothing.  The parent stays jax-free, relays the child's stderr,
+  and kills the child if backend init never reaches the first `devices:`
+  log line within QHBM_BENCH_INIT_TIMEOUT (default 900s -- axon warmup
+  alone is 140-470s) or the whole run exceeds QHBM_BENCH_TOTAL_TIMEOUT.
+
+  Returns (rc, stdout) on child exit, or (None, "") on watchdog kill.
+  """
+  proc = subprocess.Popen(
+      [sys.executable, os.path.abspath(__file__), "--accel-child"],
+      stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+  marker_seen = threading.Event()
+
+  def pump():
+    for line in proc.stderr:
+      sys.stderr.write(line)
+      sys.stderr.flush()
+      if "devices:" in line:
+        marker_seen.set()
+
+  threading.Thread(target=pump, daemon=True).start()
+  init_to = float(os.environ.get("QHBM_BENCH_INIT_TIMEOUT", 900))
+  total_to = float(os.environ.get("QHBM_BENCH_TOTAL_TIMEOUT", 4500))
+  t0 = time.time()
+  while True:
+    rc = proc.poll()
+    if rc is not None:
+      return rc, proc.stdout.read()
+    elapsed = time.time() - t0
+    if elapsed > total_to or (elapsed > init_to and not marker_seen.is_set()):
+      log(f"[bench] accelerator child unresponsive after {elapsed:.0f}s "
+          f"(backend up: {marker_seen.is_set()}); killing it")
+      proc.kill()
+      proc.wait()
+      return None, ""
+    time.sleep(2)
+
+
+def _emit_fallback():
+  """Accelerator unreachable: emit an honest CPU-measured JSON line.
+
+  The value is a real CPU measurement of the same 24q workload (cached in
+  bench_baseline_cpu.json, measured fresh if absent), vs_baseline 1.0 by
+  construction, with the last recorded TPU measurement attached -- clearly
+  labeled -- so the round artifact still carries the accelerator story."""
+  cfg = _env_workload() or WORKLOADS["24q"]
+  name = f"{cfg['n']}q"
+  base = cpu_baseline(name, cfg)
+  extra = {
+      "platform": "cpu-fallback",
+      "note": ("accelerator tunnel unreachable (backend init hang); value "
+               "is the same workload measured on host CPU"),
+  }
+  if os.path.exists(LAST_TPU_PATH):
+    with open(LAST_TPU_PATH) as f:
+      extra["last_tpu_measurement"] = json.load(f)
+  print(json.dumps({
+      "metric": f"vqt_train_steps_per_sec_{name}",
+      "value": round(base, 4) if base == base else None,
+      "unit": "steps/s",
+      "vs_baseline": 1.0 if base == base else None,
+      "extra": extra,
+  }))
+
+
+def _record_last_tpu(stdout_text):
+  """Persist the successful accelerator result for future fallback JSONs."""
+  if os.environ.get("QHBM_BENCH_PLATFORM") == "cpu":
+    return  # test-hook CPU runs are not TPU evidence
+  try:
+    parsed = json.loads(stdout_text.strip().splitlines()[-1])
+    if parsed.get("extra", {}).get("platform") == "cpu-fallback":
+      return
+    parsed["recorded_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime())
+    with open(LAST_TPU_PATH, "w") as f:
+      json.dump(parsed, f, indent=1)
+  except Exception as e:  # pragma: no cover - never block the relay
+    log(f"[bench] could not record last-TPU result: {e}")
+
+
 def _force_cpu():
   """`JAX_PLATFORMS=cpu` is IGNORED when an accelerator plugin is present
   (see .claude/skills/verify/SKILL.md); the config update before backend
@@ -262,7 +352,24 @@ def main():
     print(json.dumps({"steps_per_sec": sps}))
     return
 
-  _enable_compile_cache()
+  if "--accel-child" not in sys.argv:
+    # Watchdog parent: jax-free, so a downed tunnel can never hang it.
+    rc, out = _run_accel_child()
+    if rc == 0 and out.strip():
+      _record_last_tpu(out)
+      sys.stdout.write(out)
+      sys.stdout.flush()
+      return
+    log(f"[bench] accelerator child failed (rc={rc}); CPU fallback")
+    _emit_fallback()
+    return
+
+  if os.environ.get("QHBM_BENCH_PLATFORM") == "cpu":
+    # Test hook: run the whole parent->child->relay path without an
+    # accelerator (used by tests/benchmarks; also handy on CI hosts).
+    _force_cpu()
+  else:
+    _enable_compile_cache()
   smoke = _env_workload()
   if smoke is not None:
     name = f"{smoke['n']}q"
