@@ -22,6 +22,13 @@ TPU-native scaling story SURVEY.md section 2.3 calls for:
     models), while 'data'/'state' stay inside each slice on ICI.  This is
     the standard bandwidth hierarchy: statevector partner exchanges
     (O(2^n / shards) per gate) never cross DCN.
+  * `sync_params` -- broadcast process 0's parameter pytree to every
+    process.  Model constructors draw random initial values from a
+    per-process host RNG (qhbmlib_tpu/nn.py RandomUniform), which is
+    correct single-process but diverges across hosts; SPMD training
+    requires identical replicated inputs on every process.  Call this once
+    on the freshly built parameters before the first train step (see
+    tests/parallel/mp_vqt_worker.py for the full multi-process recipe).
 
 Sweep-level parallelism (independent hyperparameter points) stays at the
 launcher level (baselines/launch.py), one job per point, as in the
@@ -107,3 +114,18 @@ def dcn_mesh(replica: int,
       (1, data, state), (replica, 1, 1), devices=list(devices))
   return Mesh(dev_array,
               (REPLICA_AXIS, mesh_lib.DATA_AXIS, mesh_lib.STATE_AXIS))
+
+
+def sync_params(params):
+  """Broadcasts process 0's parameter pytree to all processes.
+
+  Multi-host SPMD requires every process to pass bitwise-identical
+  replicated inputs to jitted programs; model constructors draw initial
+  values from a per-process host RNG (nn.RandomUniform with no seed), so a
+  freshly built model differs across processes.  Single-process runs
+  return `params` unchanged.
+  """
+  if jax.process_count() == 1:
+    return params
+  from jax.experimental import multihost_utils
+  return multihost_utils.broadcast_one_to_all(params)

@@ -16,6 +16,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+__all__ = [
+    "Squeeze",
+    "bits_to_ints",
+    "categorical_indices",
+    "categorical_indices_from_weights",
+    "expand_unique_results",
+    "ints_to_bits",
+    "to_host_complex",
+    "unique_bitstrings_with_counts",
+    "weighted_average",
+]
+
 
 def weighted_average(counts: jnp.ndarray, values) -> jnp.ndarray:
   """Count-weighted mean over the leading axis of each leaf of `values`.
