@@ -27,6 +27,11 @@ def bench(monkeypatch, tmp_path):
   # Redirect every artifact write into the sandbox.
   monkeypatch.setattr(mod, "CACHE_PATH", str(tmp_path / "cpu_cache.json"))
   monkeypatch.setattr(mod, "LAST_TPU_PATH", str(tmp_path / "last_tpu.json"))
+  # bench.main() os.environ.setdefault's the bench's matmul-precision choice
+  # ('default', 1-pass bf16); pin it via monkeypatch so the write is undone
+  # after the test -- leaking it flips later precision-sensitive tests
+  # (tests/ops Pallas-vs-XLA comparisons run at the library default 'high').
+  monkeypatch.setenv("QHBM_MATMUL_PRECISION", mod.PRECISION)
   return mod
 
 

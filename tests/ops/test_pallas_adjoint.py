@@ -63,9 +63,12 @@ def test_minor_and_major_qubits():
     circuit_utils.hardware_efficient_ansatz(9, 1)),
                     reason="pallas TPU backend unavailable")
 @pytest.mark.parametrize("layers", [1, 3])
-def test_batched_sweep_matches_xla(layers):
+def test_batched_sweep_matches_xla(layers, monkeypatch):
   """Grid-over-batch reverse sweep: batch-summed gradients vs the per-state
   XLA sweep summed by hand."""
+  # Hermetic precision: under 'default' the kernel uses bf16 planes while
+  # the XLA CPU reference stays f32 -- an expected divergence on TPU too.
+  monkeypatch.setenv("QHBM_MATMUL_PRECISION", "high")
   n, batch = 9, 4
   pqc = circuit_utils.hardware_efficient_ansatz(n, layers)
   rng = np.random.RandomState(layers)

@@ -117,9 +117,12 @@ def test_apply_majors_and_minor_fused_flag_cpu(monkeypatch):
 @pytest.mark.skipif(not pallas_sv.supported(
     circuit_utils.hardware_efficient_ansatz(9, 1)),
                     reason="pallas TPU backend unavailable")
-def test_batched_matches_dense_interpret():
+def test_batched_matches_dense_interpret(monkeypatch):
   """Grid-over-batch kernel: B basis states through one kernel vs the dense
   engine applied per state."""
+  # Hermetic precision: bf16 planes under 'default' cannot meet the f32
+  # dense reference at this tolerance.
+  monkeypatch.setenv("QHBM_MATMUL_PRECISION", "high")
   n, layers, batch = 9, 3, 5
   pqc = circuit_utils.hardware_efficient_ansatz(n, layers)
   values = jnp.asarray(
