@@ -96,6 +96,14 @@ class QuantumCircuit:
       out.extend(nn.flatten_variables(pipeline))
     return out
 
+  def get_weights(self) -> List[jnp.ndarray]:
+    """Keras-style accessor (reference models are Keras layers; weights move
+    via get/set_weights, e.g. reference baselines/train.py:604-605)."""
+    return list(self.trainable_variables)
+
+  def set_weights(self, weights: Sequence[jnp.ndarray]) -> None:
+    self.set_trainable_variables(weights)
+
   def set_trainable_variables(self, flat: Sequence[jnp.ndarray]) -> None:
     i = 0
     for pipeline_inputs in self._value_layers_inputs:

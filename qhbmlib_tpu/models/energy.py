@@ -68,6 +68,14 @@ class BitstringEnergy:
       if layer.trainable:
         layer.set_variables(lvars)
 
+  def get_weights(self) -> List[jnp.ndarray]:
+    """Keras-style accessor (reference models are Keras layers; weights move
+    via get/set_weights, e.g. reference baselines/train.py:283-284)."""
+    return list(self.trainable_variables)
+
+  def set_weights(self, weights: Sequence[jnp.ndarray]) -> None:
+    self.set_trainable_variables(weights)
+
   def apply_flat(self, flat: Sequence[jnp.ndarray],
                  bitstrings: jnp.ndarray) -> jnp.ndarray:
     """Pure energy evaluation: [batch, num_bits] -> [batch]."""

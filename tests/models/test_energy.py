@@ -173,3 +173,23 @@ class TestGeneralBitstringEnergy:
     energy.set_trainable_variables(new)
     np.testing.assert_allclose(np.asarray(energy.trainable_variables[0]),
                                [1.0, 2.0, 3.0])
+
+  def test_get_set_weights_keras_parity(self):
+    """Weights move via get/set_weights like the reference's Keras models
+    (reference baselines/train.py:283-284, tests/inference/qmhl_loss_test.py:63)."""
+    src = models.KOBE([0, 1, 2], 2, nn.RandomUniform(-2, 2, seed=3))
+    dst = models.KOBE([0, 1, 2], 2, nn.RandomUniform(-2, 2, seed=4))
+    dst.set_weights(src.get_weights())
+    bits = jnp.asarray([[0, 1, 1], [1, 0, 1]], jnp.int32)
+    np.testing.assert_allclose(np.asarray(dst(bits)), np.asarray(src(bits)))
+
+    from qhbmlib_tpu.models import circuit_utils
+    ca = models.DirectQuantumCircuit(
+        circuit_utils.hardware_efficient_ansatz(3, 1),
+        nn.RandomUniform(-1, 1, seed=5))
+    cb = models.DirectQuantumCircuit(
+        circuit_utils.hardware_efficient_ansatz(3, 1),
+        nn.RandomUniform(-1, 1, seed=6))
+    cb.set_weights(ca.get_weights())
+    np.testing.assert_allclose(np.asarray(cb.symbol_values),
+                               np.asarray(ca.symbol_values))

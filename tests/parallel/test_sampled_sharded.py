@@ -70,7 +70,11 @@ class TestShardedSampledQNN:
     gb = jax.grad(lambda p: loss(sharded, p))(list(sharded.phi))
     for x, y in zip(jax.tree_util.tree_leaves(ga),
                     jax.tree_util.tree_leaves(gb)):
-      np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+      # The shift-plan psum reduces shards in a different order than the
+      # dense sum; f32 reassociation noise is ~1 ulp of the largest
+      # gradient entry (observed 1.5e-6 on |g|~5), so allow rtol at f32 eps.
+      np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=3e-6,
+                                 atol=1e-6)
 
   def test_hamiltonian_general_energy_observable(self, data_mesh):
     """The general-BitstringEnergy observable path (sample + energy feed)."""
@@ -105,7 +109,11 @@ class TestShardedSampledQNN:
         list(sharded.phi), list(observable.energy.trainable_variables))
     for x, y in zip(jax.tree_util.tree_leaves(ga),
                     jax.tree_util.tree_leaves(gb)):
-      np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+      # The shift-plan psum reduces shards in a different order than the
+      # dense sum; f32 reassociation noise is ~1 ulp of the largest
+      # gradient entry (observed 1.5e-6 on |g|~5), so allow rtol at f32 eps.
+      np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=3e-6,
+                                 atol=1e-6)
 
   def test_vqt_step_with_sharded_sampled_engine(self, data_mesh):
     """Full jitted VQT train step composes with the sharded sampled engine
