@@ -245,10 +245,7 @@ class AnalyticEnergyInference(EnergyInference):
       raise ValueError(
           f"AnalyticEnergyInference enumerates 2^n bitstrings; n={n} is too "
           "large. Use BernoulliEnergyInference or GibbsWithGradientsInference.")
-    idx = np.arange(2**n, dtype=np.int64)
-    shifts = np.arange(n - 1, -1, -1)
-    self._all_bitstrings = jnp.asarray(((idx[:, None] >> shifts) & 1),
-                                       jnp.int8)
+    self._all_bitstrings = jnp.asarray(utils.all_bitstrings(n))
     self.exact = exact
     if max_unique_samples is None and n > 10:
       max_unique_samples = min(2**12, num_expectation_samples)
@@ -323,10 +320,7 @@ class BernoulliEnergyInference(EnergyInference):
     n = input_energy.num_bits
     self._enumerable = n <= DEFAULT_ENUM_BITS
     if self._enumerable:
-      idx = np.arange(2**n, dtype=np.int64)
-      shifts = np.arange(n - 1, -1, -1)
-      self._all_bitstrings = jnp.asarray(((idx[:, None] >> shifts) & 1),
-                                         jnp.int8)
+      self._all_bitstrings = jnp.asarray(utils.all_bitstrings(n))
     self.exact = exact
     self.max_unique_samples = max_unique_samples or min(
         2**min(n, 12), num_expectation_samples)
@@ -485,11 +479,18 @@ class GibbsWithGradientsInference(EnergyInference):
 
   # -- EnergyInference API -----------------------------------------------------
 
-  def _maybe_burn_in(self):
-    """Re-equilibrates the stored chain if energy parameters changed."""
-    fp = tuple(np.asarray(v).tobytes() for v in self.theta)
+  def _maybe_burn_in(self, theta=None):
+    """Re-equilibrates the stored chain if energy parameters changed.
+
+    No-op under tracing (parameters can't be fingerprinted; jitted training
+    steps must thread chain state via `support_counts_state` instead).
+    """
+    theta = self.theta if theta is None else theta
+    if any(isinstance(v, jax.core.Tracer) for v in theta):
+      return
+    fp = tuple(np.asarray(v).tobytes() for v in theta)
     if fp != self._fingerprint:
-      self._chain_state = self.burn_in(self.theta, self._next_key(),
+      self._chain_state = self.burn_in(theta, self._next_key(),
                                        self._chain_state)
       self._fingerprint = fp
 
@@ -506,11 +507,18 @@ class GibbsWithGradientsInference(EnergyInference):
     return samples
 
   def support_and_counts(self, theta, key):
-    # NOTE: closes over the current chain state; do not jit a function that
-    # calls this across parameter updates -- use `support_counts_state`
-    # inside jitted training steps.
-    support, counts, _ = self.support_counts_state(theta, key,
-                                                   self._chain_state)
+    # Stateful entry point shared by expectation/entropy/log_partition: like
+    # the reference's `_ready_inference` (reference ebm.py:734-743), every
+    # inference call re-equilibrates on parameter change and then persists
+    # the advanced chain, so successive calls continue one long chain.
+    # Inside jitted training steps use `support_counts_state` (burn-in and
+    # persistence are skipped under tracing; the chain state must be a real
+    # argument/output there).
+    self._maybe_burn_in(theta)
+    support, counts, new_state = self.support_counts_state(
+        theta, key, self._chain_state)
+    if not isinstance(new_state, jax.core.Tracer):
+      self._chain_state = new_state
     return support, counts
 
   def support_counts_state(self, theta, key, chain_state):

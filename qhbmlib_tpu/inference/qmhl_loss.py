@@ -8,6 +8,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from qhbmlib_tpu import utils
 from qhbmlib_tpu.inference import qhbm as qhbm_module
 
 
@@ -62,7 +63,11 @@ def _cached_loss_fn(data, input_qhbm):
   if cache is None:
     cache = {}
     input_qhbm._qmhl_cache = cache
+  # Pin the dataset in the entry: ids are unique only among live objects, so
+  # without the strong reference a recycled id could serve a stale loss_fn.
   key = id(data)
-  if key not in cache:
-    cache[key] = make_qmhl(data, input_qhbm)
-  return cache[key]
+  hit = cache.get(key)
+  if hit is None or hit[0] is not data:
+    hit = utils.bounded_cache_put(cache, key,
+                                  (data, make_qmhl(data, input_qhbm)))
+  return hit[1]

@@ -66,11 +66,19 @@ class QuantumInference(abc.ABC):
     return self._circuit.trainable_variables
 
   def _total_circuit(self, observables) -> circuit_model.QuantumCircuit:
-    """self.circuit + observables.circuit_dagger, cached per Hamiltonian."""
+    """self.circuit + observables.circuit_dagger, cached per Hamiltonian.
+
+    The cache entry pins a strong reference to the keyed Hamiltonian: ids are
+    only unique among *live* objects, so an id()-keyed cache without the
+    pinned reference could serve a stale circuit after CPython recycles the
+    address of a garbage-collected observable."""
     key = id(observables)
-    if key not in self._total_cache:
-      self._total_cache[key] = self._circuit + observables.circuit_dagger
-    return self._total_cache[key]
+    hit = self._total_cache.get(key)
+    if hit is None or hit[0] is not observables:
+      hit = utils.bounded_cache_put(
+          self._total_cache, key,
+          (observables, self._circuit + observables.circuit_dagger))
+    return hit[1]
 
   def expectation(self, initial_states: jnp.ndarray,
                   observables: Observable) -> jnp.ndarray:
@@ -312,20 +320,21 @@ class SampledQuantumInference(QuantumInference):
     Qubit-wise-commuting terms share one basis-rotated circuit + shot batch.
     """
     cache_key = (id(pqc),) + tuple(id(op) for op in ops)
-    if cache_key not in self._plan_cache:
+    hit = self._plan_cache.get(cache_key)
+    # The entry pins (pqc, ops) so their ids stay unique for the cache's
+    # lifetime (id reuse after GC would otherwise alias a different plan).
+    if hit is None or hit[0] is not pqc or any(
+        a is not b for a, b in zip(hit[1], ops)):
       groups = []
       for basis_codes, masks, term_idx in _group_terms(ops):
         groups.append((_measurement_rotation(pqc.num_qubits, basis_codes),
                        masks, term_idx))
       num_terms = sum(op.num_terms for op in ops)
-      slices = []
-      start = 0
-      for op in ops:
-        slices.append((start, start + op.num_terms))
-        start += op.num_terms
-      self._plan_cache[cache_key] = ((tuple(groups), num_terms),
-                                     tuple(slices))
-    return self._plan_cache[cache_key]
+      slices = paulis.op_slices(ops)
+      hit = utils.bounded_cache_put(
+          self._plan_cache, cache_key,
+          (pqc, tuple(ops), ((tuple(groups), num_terms), tuple(slices))))
+    return hit[2]
 
   def expectation(self, initial_states, observables):
     initial_states = jnp.asarray(initial_states)

@@ -16,6 +16,7 @@ from typing import Union
 import jax
 import jax.numpy as jnp
 
+from qhbmlib_tpu import utils
 from qhbmlib_tpu.inference import qhbm as qhbm_module
 from qhbmlib_tpu.models import hamiltonian as hamiltonian_model
 from qhbmlib_tpu.ops import paulis
@@ -117,7 +118,12 @@ def _cached_loss_fn(input_qhbm, target_hamiltonian):
   if cache is None:
     cache = {}
     input_qhbm._vqt_cache = cache
+  # Pin the target in the entry: ids are unique only among live objects, so
+  # without the strong reference a recycled id could serve a stale loss_fn.
   key = id(target_hamiltonian)
-  if key not in cache:
-    cache[key] = make_vqt(input_qhbm, target_hamiltonian)
-  return cache[key]
+  hit = cache.get(key)
+  if hit is None or hit[0] is not target_hamiltonian:
+    hit = utils.bounded_cache_put(
+        cache, key,
+        (target_hamiltonian, make_vqt(input_qhbm, target_hamiltonian)))
+  return hit[1]

@@ -297,26 +297,9 @@ def expectation(circuit: ir.Circuit,
   return jnp.sum(terms * jnp.real(op.coeffs))
 
 
-class _HashableOp:
-  """Static (codes, num_qubits) structure of a PauliSum, usable as a
-  nondiff custom_vjp argument; coefficients are applied OUTSIDE the
-  primitive so their gradients flow through plain autodiff."""
-
-  def __init__(self, op: paulis.PauliSum):
-    self.codes = op.codes
-    self.num_qubits = op.num_qubits
-
-  def ones(self) -> paulis.PauliSum:
-    return paulis.PauliSum(self.codes,
-                           jnp.ones([len(self.codes)], jnp.float32),
-                           self.num_qubits)
-
-  def __hash__(self):
-    return hash((self.codes, self.num_qubits))
-
-  def __eq__(self, other):
-    return (isinstance(other, _HashableOp) and self.codes == other.codes and
-            self.num_qubits == other.num_qubits)
+# One shared implementation (hashing/equality must stay in lockstep with the
+# sharded engine's nondiff arguments).
+_HashableOp = paulis.HashableOp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -533,15 +516,8 @@ def batched_expectations(circuit: ir.Circuit,
     `symbol_values` and each op's coefficients.
   """
   n = circuit.num_qubits
-  all_codes = tuple(row for op in ops for row in op.codes)
-  all_coeffs = jnp.concatenate([jnp.atleast_1d(op.coeffs) for op in ops])
-  big = paulis.PauliSum(all_codes, all_coeffs, n)
-  # Static slices: which rows of the concatenated terms belong to which op.
-  slices = []
-  start = 0
-  for op in ops:
-    slices.append((start, start + op.num_terms))
-    start += op.num_terms
+  big, slices = paulis.concat_ops(ops, n)
+  all_coeffs = big.coeffs
 
   batch = init_bits.shape[0]
   if batch_chunk is None:

@@ -68,6 +68,22 @@ class Gate:
   # For PROT gates only: pauli codes aligned with `qubits` (1=X, 2=Y, 3=Z).
   paulis: Tuple[int, ...] = ()
 
+  def __post_init__(self):
+    # Validate on EVERY construction path (builder, dataclasses.replace,
+    # direct Gate(...)): consumers index `paulis` positionally against
+    # `qubits` (the engines zip them; the native oracle packs len(qubits)
+    # slots per gate), so a mismatch silently desynchronizes simulators.
+    if self.kind == PROT:
+      if len(self.paulis) != len(self.qubits):
+        raise ValueError(
+            f"prot gate needs one pauli code per qubit: got "
+            f"{len(self.paulis)} codes for {len(self.qubits)} qubits")
+      if any(int(p) not in (1, 2, 3) for p in self.paulis):
+        raise ValueError(
+            f"prot pauli codes must be 1=X, 2=Y, 3=Z: {self.paulis}")
+    elif self.paulis:
+      raise ValueError(f"paulis only apply to prot gates, not {self.kind!r}")
+
   def inverse(self) -> "Gate":
     """All supported gates satisfy U(angle)^-1 == U(-angle)."""
     return dataclasses.replace(self, coeff=-self.coeff, shift=-self.shift)
@@ -161,6 +177,7 @@ class CircuitBuilder:
         raise ValueError(f"qubit {q} out of range")
     if len(set(qubits)) != len(qubits):
       raise ValueError("gate qubits must be distinct")
+    # Gate.__post_init__ validates PROT pauli/qubit alignment.
     self._gates.append(
         Gate(
             kind=kind,

@@ -93,6 +93,10 @@ def simulate(circuit: ir.Circuit, symbol_values,
     angles[g] = angle
     prot_offsets[g + 1] = prot_offsets[g]
     if gate.kind == ir.PROT:
+      if len(gate.paulis) != len(gate.qubits):
+        raise ValueError(
+            f"prot gate {g}: {len(gate.paulis)} pauli codes for "
+            f"{len(gate.qubits)} qubits (packed arrays would desynchronize)")
       prot_qubits.extend(gate.qubits)
       prot_codes.extend(gate.paulis)
       prot_offsets[g + 1] += len(gate.qubits)

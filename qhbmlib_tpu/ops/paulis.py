@@ -170,3 +170,51 @@ def stack_single_term(paulisums: Sequence[PauliSum]) -> PauliSum:
       codes=tuple(codes),
       coeffs=jnp.stack(coeffs),
       num_qubits=paulisums[0].num_qubits)
+
+
+class HashableOp:
+  """Static (codes, num_qubits) structure of a PauliSum, hashable for use as
+  a nondiff `custom_vjp` argument or cache key; coefficients are applied
+  OUTSIDE the primitive so their gradients flow through plain autodiff.
+
+  Shared by the dense adjoint engine and the sharded engine (one
+  implementation keeps their hashing/equality semantics in lockstep)."""
+
+  def __init__(self, op: PauliSum):
+    self.codes = op.codes
+    self.num_qubits = op.num_qubits
+
+  def ones(self) -> PauliSum:
+    return PauliSum(self.codes, jnp.ones([len(self.codes)], jnp.float32),
+                    self.num_qubits)
+
+  def with_coeffs(self, coeffs) -> PauliSum:
+    return PauliSum(self.codes, coeffs, self.num_qubits)
+
+  def __hash__(self):
+    return hash((self.codes, self.num_qubits))
+
+  def __eq__(self, other):
+    return (isinstance(other, HashableOp) and self.codes == other.codes and
+            self.num_qubits == other.num_qubits)
+
+
+def op_slices(ops: Sequence[PauliSum]):
+  """Static [(start, end)] row ranges of each op inside the concatenation of
+  all their terms."""
+  slices = []
+  start = 0
+  for op in ops:
+    slices.append((start, start + op.num_terms))
+    start += op.num_terms
+  return slices
+
+
+def concat_ops(ops: Sequence[PauliSum], num_qubits: int):
+  """All terms of all ops as ONE PauliSum, plus the per-op row slices.
+
+  Batched expectation paths measure the concatenation in a single fused pass
+  and slice the per-op results back out."""
+  all_codes = tuple(row for op in ops for row in op.codes)
+  all_coeffs = jnp.concatenate([jnp.atleast_1d(op.coeffs) for op in ops])
+  return PauliSum(all_codes, all_coeffs, num_qubits), op_slices(ops)

@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qhbmlib_tpu import utils
 from qhbmlib_tpu.ops import circuit_ir as ir
 from qhbmlib_tpu.ops import paulis
 
@@ -194,9 +195,7 @@ def index_to_bits(idx: jnp.ndarray, num_qubits: int) -> jnp.ndarray:
 
 def all_bitstrings(num_qubits: int) -> np.ndarray:
   """[2^n, n] int8 enumeration in ascending index order (static)."""
-  idx = np.arange(2**num_qubits, dtype=np.int64)
-  shifts = np.arange(num_qubits - 1, -1, -1)
-  return ((idx[:, None] >> shifts) & 1).astype(np.int8)
+  return utils.all_bitstrings(num_qubits)
 
 
 # ---------------------------------------------------------------------------

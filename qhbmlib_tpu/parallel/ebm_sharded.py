@@ -43,7 +43,10 @@ class ShardedGibbsWithGradientsInference(ebm.GibbsWithGradientsInference):
                num_chains: int = 1,
                max_unique_samples: Optional[int] = None,
                initial_seed=None):
-    d = mesh.shape.get(chains_axis, 1)
+    if chains_axis not in mesh.shape:
+      raise ValueError(f"mesh {tuple(mesh.axis_names)} has no axis "
+                       f"{chains_axis!r}")
+    d = mesh.shape[chains_axis]
     if num_chains % d:
       raise ValueError(
           f"num_chains={num_chains} must be divisible by the "

@@ -66,8 +66,9 @@ class ShardedSampledQuantumInference(qnn.SampledQuantumInference):
     super().__init__(input_circuit, expectation_samples, name, initial_seed)
     self._mesh = mesh
     self._data_axis = data_axis
-    if mesh.shape.get(data_axis, 1) < 1:
-      raise ValueError(f"mesh has no axis {data_axis!r}")
+    if data_axis not in mesh.shape:
+      raise ValueError(f"mesh {tuple(mesh.axis_names)} has no axis "
+                       f"{data_axis!r}")
 
   @property
   def mesh(self):

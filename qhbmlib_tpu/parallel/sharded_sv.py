@@ -69,7 +69,7 @@ def _select_bit(mat: jnp.ndarray, b) -> jnp.ndarray:
 
 def _apply_dense_routed(mat: jnp.ndarray, gate_qubits: Tuple[int, ...],
                         local: jnp.ndarray, k: int,
-                        axis_name: str) -> jnp.ndarray:
+                        axis_name: str, diag: bool = False) -> jnp.ndarray:
   """Applies a dense 1-/2-qubit gate that may touch global (sharded) qubits.
 
   Global qubits are handled by direct partner exchange: the partner device's
@@ -78,11 +78,35 @@ def _apply_dense_routed(mat: jnp.ndarray, gate_qubits: Tuple[int, ...],
   selected by this device's bits).  Exactly one full-block exchange per
   global qubit pair -- the same ICI traffic as a global<->local qubit swap,
   with no scratch-qubit or minimum-local-size requirement.
+
+  `diag=True` (a STATIC property of the gate kind: ZP/RZ/CZP/ZZP) short-
+  circuits all of that: a diagonal gate never mixes amplitudes across
+  devices, so global qubits reduce to a per-device scalar selected by the
+  device bits -- zero ICI traffic instead of full-block exchanges whose
+  cross coefficients are statically zero.
   """
   num_devices = 2**k
   global_qubits = [q for q in gate_qubits if q < k]
   if not global_qubits:
     return sv.apply_dense(mat, tuple(q - k for q in gate_qubits), local)
+
+  if diag:
+    if len(gate_qubits) == 1:
+      (g,) = gate_qubits
+      d = jnp.diagonal(mat)  # [2]
+      return _select_bit(d, _device_bit(axis_name, k, g)) * local
+    d = jnp.diagonal(mat.reshape(4, 4)).reshape(2, 2)  # [q0_in, q1_in]
+    if len(global_qubits) == 1:
+      (g,) = global_qubits
+      (u,) = [q for q in gate_qubits if q >= k]
+      if gate_qubits[0] != g:  # normalize to [g_in, u_in]
+        d = d.T
+      sub = _select_bit(d, _device_bit(axis_name, k, g))  # [2] diag on u
+      return sv.apply_dense(jnp.diag(sub), (u - k,), local)
+    g0, g1 = gate_qubits
+    coeff = _select_bit(_select_bit(d, _device_bit(axis_name, k, g0)),
+                        _device_bit(axis_name, k, g1))
+    return coeff * local
 
   if len(gate_qubits) == 1:
     (g,) = gate_qubits
@@ -166,11 +190,7 @@ def apply_pauli_string_local(local: jnp.ndarray, codes: Sequence[int], k: int,
   return out
 
 
-def _full_codes(gate: ir.Gate, n: int) -> list:
-  codes = [0] * n
-  for q, p in zip(gate.qubits, gate.paulis):
-    codes[q] = p
-  return codes
+_full_codes = sv._prot_codes  # one shared PROT codes expansion
 
 
 def _local_num_qubits(local: jnp.ndarray) -> int:
@@ -190,7 +210,8 @@ def apply_gate_local(gate: ir.Gate, angle, local: jnp.ndarray, k: int,
     a = jnp.asarray(angle, jnp.float32).astype(COMPLEX_DTYPE)
     return jnp.exp(1j * a) * local
   mat = sv.gate_matrix(gate.kind, angle)
-  return _apply_dense_routed(mat, gate.qubits, local, k, axis_name)
+  return _apply_dense_routed(mat, gate.qubits, local, k, axis_name,
+                             diag=gate.kind in sv._DIAG_KINDS)
 
 
 def apply_gate_dangle_local(gate: ir.Gate, angle, local: jnp.ndarray, k: int,
@@ -208,7 +229,8 @@ def apply_gate_dangle_local(gate: ir.Gate, angle, local: jnp.ndarray, k: int,
   angle = jnp.asarray(angle, jnp.float32)
   _, dmat = jax.jvp(lambda a: sv.gate_matrix(gate.kind, a), (angle,),
                     (jnp.ones_like(angle),))
-  return _apply_dense_routed(dmat, gate.qubits, local, k, axis_name)
+  return _apply_dense_routed(dmat, gate.qubits, local, k, axis_name,
+                             diag=gate.kind in sv._DIAG_KINDS)
 
 
 @functools.lru_cache(maxsize=None)
@@ -347,15 +369,7 @@ def _term_expectations_bwd_local(circuit, values, bits, big_op, g, k,
 # Top-level wrappers (build the shard_map)
 # ---------------------------------------------------------------------------
 
-def _concat_ops(ops: Tuple[paulis.PauliSum, ...], n: int):
-  all_codes = tuple(row for op in ops for row in op.codes)
-  all_coeffs = jnp.concatenate([jnp.atleast_1d(op.coeffs) for op in ops])
-  slices = []
-  start = 0
-  for op in ops:
-    slices.append((start, start + op.num_terms))
-    start += op.num_terms
-  return paulis.PauliSum(all_codes, all_coeffs, n), slices
+_concat_ops = paulis.concat_ops
 
 
 def simulate_sharded(circuit: ir.Circuit,
@@ -400,22 +414,7 @@ def batched_term_expectations(circuit: ir.Circuit,
               big_op.coeffs, _HashableOp(big_op))
 
 
-class _HashableOp:
-  """Wraps a PauliSum's static structure for use as a nondiff argument."""
-
-  def __init__(self, op: paulis.PauliSum):
-    self.codes = op.codes
-    self.num_qubits = op.num_qubits
-
-  def with_coeffs(self, coeffs) -> paulis.PauliSum:
-    return paulis.PauliSum(self.codes, coeffs, self.num_qubits)
-
-  def __hash__(self):
-    return hash((self.codes, self.num_qubits))
-
-  def __eq__(self, other):
-    return (isinstance(other, _HashableOp) and self.codes == other.codes and
-            self.num_qubits == other.num_qubits)
+_HashableOp = paulis.HashableOp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 7))

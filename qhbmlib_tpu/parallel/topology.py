@@ -64,11 +64,28 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
-  except (ValueError, RuntimeError):
-    # Single-process environments (no coordinator discoverable) fall
-    # through: the local backend already owns every visible device.
-    if num_processes not in (None, 1):
+  except (ValueError, RuntimeError) as e:
+    import logging
+    msg = str(e)
+    if "once" in msg or "already" in msg:
+      # Re-initialization by a second component in an already-distributed
+      # process: benign, the runtime is up.
+      logging.getLogger(__name__).debug(
+          "jax.distributed already initialized; reusing it (%s)", e)
+      return len(jax.devices())
+    # Only pure auto-detection (no argument given) may fall through to
+    # single-process: that is the "no cluster here" case.  Any explicit
+    # argument declares distributed intent, and a silent degradation would
+    # leave each host training an independent replica (or hang in the first
+    # collective) with no error pointing at initialization.
+    if (coordinator_address, num_processes, process_id) != (None, None, None):
       raise
+    logging.getLogger(__name__).warning(
+        "jax.distributed.initialize() auto-detection failed (%s); continuing "
+        "single-process with the local devices only. If this host IS part of "
+        "a multi-host job, pass coordinator_address/num_processes/process_id "
+        "explicitly -- explicit arguments make this failure fatal instead.",
+        e)
   return len(jax.devices())
 
 

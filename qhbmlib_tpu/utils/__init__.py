@@ -18,7 +18,9 @@ import numpy as np
 
 __all__ = [
     "Squeeze",
+    "all_bitstrings",
     "bits_to_ints",
+    "bounded_cache_put",
     "categorical_indices",
     "categorical_indices_from_weights",
     "expand_unique_results",
@@ -27,6 +29,19 @@ __all__ = [
     "unique_bitstrings_with_counts",
     "weighted_average",
 ]
+
+
+def bounded_cache_put(cache: dict, key, value, max_entries: int = 64):
+  """FIFO-bounded dict insert for id()-keyed caches.
+
+  Entries pin strong references to their keyed objects, keeping their ids
+  unique (CPython recycles addresses of collected objects) -- but only while
+  resident: evicting the oldest entry bounds retention when callers create a
+  fresh keyed object every step (e.g. annealed VQT targets)."""
+  if key not in cache and len(cache) >= max_entries:
+    cache.pop(next(iter(cache)))
+  cache[key] = value
+  return value
 
 
 def weighted_average(counts: jnp.ndarray, values) -> jnp.ndarray:
@@ -58,6 +73,17 @@ def ints_to_bits(ints: jnp.ndarray, num_bits: int) -> jnp.ndarray:
   return ((ints[..., None] >> shifts) & 1).astype(jnp.int8)
 
 
+def all_bitstrings(num_bits: int) -> np.ndarray:
+  """[2^n, n] int8 enumeration in ascending index order (static numpy).
+
+  The single shared implementation of the 2^n enumeration used by the
+  analytic EBMs (reference ebm.py:445-447) and the statevector engine's
+  expectation/metrics paths."""
+  idx = np.arange(2**num_bits, dtype=np.int64)
+  shifts = np.arange(num_bits - 1, -1, -1)
+  return ((idx[:, None] >> shifts) & 1).astype(np.int8)
+
+
 def unique_bitstrings_with_counts(
     bitstrings: jnp.ndarray,
     size: Optional[int] = None
@@ -66,8 +92,14 @@ def unique_bitstrings_with_counts(
 
   jit-safe when `size` is given: output shapes are static, extra rows are
   filled with zeros and have count 0 (harmless under `weighted_average`).
-  If the true number of unique rows exceeds `size`, the overflow rows are
-  dropped -- callers bound `size` by min(2^n, num_samples, max_unique).
+  If the true number of unique rows exceeds `size`, the `size`
+  HIGHEST-COUNT rows are kept (ties to the smaller bitstring) and the rest
+  dropped: their `idx` entries point out of bounds (scatter drops them;
+  gather clamps), so downstream count-weighted estimators renormalize over
+  the kept support.  Keeping by count minimizes and de-biases the dropped
+  mass -- truncating `jnp.unique`'s sorted output directly would keep the
+  lexicographically smallest bitstrings, a support systematically
+  conditioned on small basis indices.
 
   Returns:
     y: [size, n] unique bitstrings (same dtype as input).
@@ -76,25 +108,52 @@ def unique_bitstrings_with_counts(
   """
   n = bitstrings.shape[-1]
   codes = bits_to_ints(bitstrings)
+  batch = codes.shape[0]
   if size is None:
     uniq, idx, counts = jnp.unique(codes, return_inverse=True,
                                    return_counts=True)
-  else:
+  elif size >= batch:
+    # Overflow impossible (at most `batch` uniques exist).
     uniq, idx, counts = jnp.unique(codes, return_inverse=True,
                                    return_counts=True, size=size,
                                    fill_value=0)
     # jnp.unique counts the fill_value rows; recompute counts by scatter-add
     # so padding rows get exactly zero.
     counts = jnp.zeros_like(counts).at[idx].add(1)
+  else:
+    # Full dedup first (the sort costs the same as a truncated unique), then
+    # keep the top-`size` rows by count.
+    full_u, full_idx, full_c = jnp.unique(codes, return_inverse=True,
+                                          return_counts=True, size=batch,
+                                          fill_value=0)
+    full_c = jnp.zeros_like(full_c).at[full_idx].add(1)
+    counts, top_pos = jax.lax.top_k(full_c, size)
+    uniq = jnp.take(full_u, top_pos)
+    # Map each input row to its kept slot; dropped rows map to `size` (out
+    # of bounds), preserving the drop-on-scatter / clamp-on-gather contract.
+    pos_map = jnp.full((batch,), size, jnp.int32).at[top_pos].set(
+        jnp.arange(size, dtype=jnp.int32))
+    idx = jnp.take(pos_map, full_idx)
   return ints_to_bits(uniq, n).astype(bitstrings.dtype), idx, counts
 
 
-def expand_unique_results(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def expand_unique_results(y: jnp.ndarray, idx: jnp.ndarray,
+                          fill_value=None) -> jnp.ndarray:
   """Inverse of unique_bitstrings_with_counts: expanded[i] == y[idx[i]].
 
-  Mirrors reference qhbmlib/utils.py:81-92.
+  Mirrors reference qhbmlib/utils.py:81-92.  If the dedup overflowed a
+  bounding `size`, dropped rows carry idx == len(y) (out of bounds): with
+  `fill_value=None` they get `jnp.take`'s default out-of-bounds fill (NaN
+  for floats -- loud, not a silent wrong value; the reference never
+  truncates so it has no such case); pass a `fill_value` to choose the
+  marker explicitly.
   """
-  return jnp.take(y, idx, axis=0)
+  if fill_value is None:
+    return jnp.take(y, idx, axis=0)
+  gathered = jnp.take(y, jnp.minimum(idx, y.shape[0] - 1), axis=0)
+  in_range = (idx >= 0) & (idx < y.shape[0])
+  mask = in_range.reshape(in_range.shape + (1,) * (gathered.ndim - 1))
+  return jnp.where(mask, gathered, jnp.asarray(fill_value, gathered.dtype))
 
 
 _TWO_LEVEL_MIN = 4096

@@ -136,6 +136,20 @@ def test_simulate_from_bits(n):
         np.asarray(states[i]).reshape(-1), u[:, i], atol=1e-5)
 
 
+def test_prot_gate_pauli_alignment_validated():
+  """A PROT gate with misaligned pauli codes must fail on EVERY construction
+  path -- the engines index codes positionally against qubits, so a silent
+  mismatch would desynchronize the JAX engine and the native oracle."""
+  with pytest.raises(ValueError, match="one pauli code per qubit"):
+    ir.Gate(kind=ir.PROT, qubits=(0, 1, 2), paulis=(1, 2))
+  with pytest.raises(ValueError, match="one pauli code per qubit"):
+    ir.CircuitBuilder(3).prot((0, 1, 2), (paulis.X, paulis.Y))
+  with pytest.raises(ValueError, match="1=X, 2=Y, 3=Z"):
+    ir.Gate(kind=ir.PROT, qubits=(0,), paulis=(4,))
+  with pytest.raises(ValueError, match="only apply to prot"):
+    ir.Gate(kind=ir.RX, qubits=(0,), paulis=(1,))
+
+
 def test_append_and_inverse():
   c1 = random_circuit(2, 2, seed=10)
   c2 = random_circuit(2, 1, seed=11)

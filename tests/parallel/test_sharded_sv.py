@@ -32,6 +32,8 @@ def _rich_circuit(n):
   for q in range(n - 1):
     b.cz(q, q + 1, f"c{q}")
   b.add(ir.ZZP, [0, n - 1], "zz0")
+  b.rz(0, "rz0")
+  b.zp(1, "zp1")
   b.prot((1, 0, 2), (paulis.X, paulis.Y, paulis.Z), "p0")
   for q in range(n):
     b.ry(q, f"b{q}")
@@ -82,6 +84,31 @@ class TestShardedSimulate:
     sharded = sharded_sv.simulate_sharded(circuit, values, state_mesh)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
                                atol=ATOL)
+
+  def test_diagonal_gates_on_global_qubits_use_no_collectives(self,
+                                                              state_mesh):
+    """A diagonal gate never mixes amplitudes across devices, so a
+    diag-only circuit on sharded qubits must compile to ZERO ppermutes
+    (the routed path would otherwise exchange full blocks whose cross
+    coefficients are statically zero)."""
+    n = 5  # 3 global (8-device mesh) + 2 local
+    b = ir.CircuitBuilder(n)
+    b.rz(0, "a")          # global 1q diag
+    b.zp(1, "b")          # global 1q diag
+    b.cz(0, 2, "c")       # global-global 2q diag
+    b.cz(1, 4, "d")       # global-local 2q diag
+    b.add(ir.ZZP, [2, 3], "e")  # global-local 2q diag
+    circuit = b.build()
+    values = jnp.asarray([0.3, 0.7, 1.1, -0.4, 0.9], jnp.float32)
+
+    fn = jax.jit(
+        lambda v: sharded_sv.simulate_sharded(circuit, v, state_mesh))
+    hlo = fn.lower(values).compile().as_text()
+    assert "collective-permute" not in hlo
+    # And it still matches the dense engine.
+    dense = sv.simulate(circuit, values).reshape(-1)
+    got = np.asarray(fn(values)).reshape(-1)
+    np.testing.assert_allclose(got, np.asarray(dense), atol=ATOL)
 
 
 class TestShardedExpectation:

@@ -56,6 +56,52 @@ def test_unique_bitstrings_with_counts():
   assert code_to_count == {(0, 1): 3, (1, 0): 1, (1, 1): 1}
 
 
+def test_unique_bitstrings_overflow_keeps_highest_counts():
+  """When true uniques exceed `size`, the kept support is the top-count
+  subset (not the lexicographically smallest), and dropped rows fall out of
+  both the counts and the expand gather's valid range."""
+  rows = ([[1, 1, 0]] * 4 + [[1, 0, 1]] * 3 + [[0, 0, 1]] + [[1, 1, 1]] +
+          [[0, 1, 0]])
+  batch = jnp.asarray(rows, jnp.int8)
+  y, idx, counts = utils.unique_bitstrings_with_counts(batch, size=2)
+  kept = {tuple(np.asarray(y[i])): int(counts[i]) for i in range(2)}
+  assert kept == {(1, 1, 0): 4, (1, 0, 1): 3}
+  assert int(jnp.sum(counts)) == 7  # dropped singles contribute nothing
+  # Dropped rows index out of bounds -> scatter-drop semantics.
+  assert np.asarray(idx).max() >= 2
+  under_jit = jax.jit(
+      lambda b: utils.unique_bitstrings_with_counts(b, size=2))(batch)
+  np.testing.assert_array_equal(np.asarray(under_jit[2]), np.asarray(counts))
+
+
+def test_expand_unique_results_fill_value_marks_dropped_rows():
+  """Overflowed idx entries (== len(y)) surface as NaN by default (jnp.take
+  fill mode) and as the chosen marker with fill_value."""
+  y = jnp.asarray([10.0, 20.0])
+  idx = jnp.asarray([0, 1, 2, 1])  # row 2 was dropped by a bounding size
+  default = np.asarray(utils.expand_unique_results(y, idx))
+  np.testing.assert_allclose(default[[0, 1, 3]], [10.0, 20.0, 20.0])
+  assert np.isnan(default[2])  # dropped row is loud, not a silent value
+  marked = np.asarray(utils.expand_unique_results(y, idx, fill_value=-1.0))
+  np.testing.assert_allclose(marked, [10.0, 20.0, -1.0, 20.0])
+
+
+def test_bounded_cache_put_evicts_fifo():
+  cache = {}
+  for i in range(5):
+    utils.bounded_cache_put(cache, i, str(i), max_entries=3)
+  assert list(cache) == [2, 3, 4]
+  # Re-inserting an existing key does not evict.
+  utils.bounded_cache_put(cache, 3, "new", max_entries=3)
+  assert list(cache) == [2, 3, 4] and cache[3] == "new"
+
+
+def test_all_bitstrings_enumeration():
+  got = utils.all_bitstrings(2)
+  np.testing.assert_array_equal(got, [[0, 0], [0, 1], [1, 0], [1, 1]])
+  assert got.dtype == np.int8
+
+
 def test_unique_bitstrings_under_jit():
   """Static `size` keeps the dedup jit-compatible (SURVEY hard part #3)."""
   batch = jnp.asarray([[0, 0], [0, 0], [1, 1]], jnp.int8)
