@@ -111,6 +111,43 @@ class TestShardedSimulate:
     np.testing.assert_allclose(got, np.asarray(dense), atol=ATOL)
 
 
+class TestShardedFuzz:
+  """Randomized sharded-vs-dense equivalence: random circuits over every
+  gate kind (incl. diag/global routing mixes and PROT strings) and random
+  observables must match the dense engine in value AND gradient.  Seeded,
+  so failures reproduce."""
+
+  @pytest.mark.slow
+  @pytest.mark.parametrize("n,seed", [(4, 101), (5, 102), (5, 103), (6, 104)])
+  def test_random_circuit_matches_dense(self, state_mesh, n, seed):
+    from tests.ops.test_statevector import random_circuit
+    rng = np.random.RandomState(seed)
+    circuit = random_circuit(n, depth=2, seed=seed)
+    values = jnp.asarray(rng.uniform(-2, 2, circuit.num_symbols), jnp.float32)
+    terms = [(float(rng.uniform(-1, 1)),
+              {int(q): "XYZ"[rng.randint(3)]
+               for q in rng.choice(n, rng.randint(1, 3), replace=False)})
+             for _ in range(4)]
+    ops = (paulis.pauli_sum_from_strings(n, terms),)
+    bits = jnp.asarray(rng.randint(0, 2, (3, n)), jnp.int8)
+
+    sharded_state = sharded_sv.simulate_sharded(circuit, values, state_mesh)
+    dense_state = sv.simulate(circuit, values).reshape(-1)
+    np.testing.assert_allclose(np.asarray(sharded_state),
+                               np.asarray(dense_state), atol=ATOL)
+
+    def loss(fn):
+      return lambda v: jnp.sum(fn(circuit, v, bits, ops))
+
+    dense_fn = loss(adjoint.batched_expectations)
+    sharded_fn = loss(lambda c, v, b, o: sharded_sv.batched_expectations(
+        c, v, b, o, state_mesh))
+    vd, gd = jax.value_and_grad(dense_fn)(values)
+    vs, gs = jax.value_and_grad(sharded_fn)(values)
+    np.testing.assert_allclose(float(vs), float(vd), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=ATOL)
+
+
 class TestShardedExpectation:
 
   def _setup(self, n, seed=3):
