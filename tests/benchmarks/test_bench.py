@@ -54,19 +54,48 @@ def test_relay_on_healthy_child(bench, monkeypatch, capsys):
   assert recorded["value"] == 2.5 and "recorded_utc" in recorded
 
 
-def test_fallback_on_hung_child(bench, monkeypatch, capsys):
+def test_fallback_on_hung_child_reemits_recorded_tpu(bench, monkeypatch,
+                                                     capsys):
+  """With a recorded accelerator run of the same workload, the fallback
+  headline is that measurement, explicitly labeled stale (a CPU headline
+  with vs_baseline 1.0 would misread as 'no speedup')."""
   monkeypatch.setattr(bench, "_run_accel_child", lambda: (None, ""))
   monkeypatch.setattr(bench, "cpu_baseline", lambda name, cfg: 0.003)
   with open(bench.LAST_TPU_PATH, "w") as f:
-    json.dump({"value": 2.45, "metric": "vqt_train_steps_per_sec_24q"}, f)
+    json.dump({"value": 2.45, "metric": "vqt_train_steps_per_sec_24q",
+               "vs_baseline": 827.1, "recorded_utc": "2026-08-17T12:00:00Z"},
+              f)
   monkeypatch.setattr(sys, "argv", ["bench.py"])
   bench.main()
   parsed = _parse_last_json(capsys)
   assert parsed["metric"] == "vqt_train_steps_per_sec_24q"
+  assert parsed["value"] == 2.45
+  assert parsed["vs_baseline"] == 827.1
+  assert parsed["extra"]["platform"] == "tpu-recorded-stale"
+  assert parsed["extra"]["recorded_utc"] == "2026-08-17T12:00:00Z"
+  assert parsed["extra"]["cpu_fresh_steps_per_sec"] == 0.003
+  assert "NOT a fresh run" in parsed["extra"]["note"]
+
+
+def test_fallback_on_hung_child_without_recording_is_cpu(bench, monkeypatch,
+                                                         capsys):
+  """With NO recorded accelerator measurement, the fallback stays an honest
+  CPU number with vs_baseline 1.0."""
+  monkeypatch.setattr(bench, "_run_accel_child", lambda: (None, ""))
+  monkeypatch.setattr(bench, "cpu_baseline", lambda name, cfg: 0.003)
+  monkeypatch.setattr(sys, "argv", ["bench.py"])
+  bench.main()
+  parsed = _parse_last_json(capsys)
   assert parsed["value"] == 0.003
   assert parsed["vs_baseline"] == 1.0
   assert parsed["extra"]["platform"] == "cpu-fallback"
-  assert parsed["extra"]["last_tpu_measurement"]["value"] == 2.45
+
+
+def test_stale_reemission_is_never_rerecorded(bench):
+  stale = json.dumps({"value": 2.45,
+                      "extra": {"platform": "tpu-recorded-stale"}}) + "\n"
+  bench._record_last_tpu(stale)
+  assert not os.path.exists(bench.LAST_TPU_PATH)
 
 
 def test_fallback_respects_env_workload(bench, monkeypatch, capsys):
