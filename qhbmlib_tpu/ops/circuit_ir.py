@@ -147,6 +147,48 @@ class Circuit:
   def parameterized_gate_indices(self) -> Tuple[int, ...]:
     return tuple(i for i, g in enumerate(self.gates) if g.slot >= 0)
 
+  # -- persistence ------------------------------------------------------------
+  # The reference gets circuit serialization for free from cirq protobufs
+  # (reference: qhbmlib/models/circuit.py:63 `tfq.convert_to_tensor`); the
+  # array-native IR round-trips through plain JSON-able dicts instead.
+
+  def to_dict(self) -> dict:
+    """JSON-able representation; exact inverse of `Circuit.from_dict`."""
+    return {
+        "num_qubits": self.num_qubits,
+        "symbol_names": list(self.symbol_names),
+        "gates": [{
+            "kind": g.kind,
+            "qubits": list(g.qubits),
+            "slot": g.slot,
+            "coeff": g.coeff,
+            "shift": g.shift,
+            **({"paulis": list(g.paulis)} if g.paulis else {}),
+        } for g in self.gates],
+    }
+
+  @staticmethod
+  def from_dict(data: dict) -> "Circuit":
+    gates = tuple(
+        Gate(kind=d["kind"],
+             qubits=tuple(int(q) for q in d["qubits"]),
+             slot=int(d.get("slot", -1)),
+             coeff=float(d.get("coeff", 1.0)),
+             shift=float(d.get("shift", 0.0)),
+             paulis=tuple(int(p) for p in d.get("paulis", ())))
+        for d in data["gates"])
+    return Circuit(int(data["num_qubits"]), gates,
+                   tuple(data["symbol_names"]))
+
+  def to_json(self) -> str:
+    import json
+    return json.dumps(self.to_dict())
+
+  @staticmethod
+  def from_json(text: str) -> "Circuit":
+    import json
+    return Circuit.from_dict(json.loads(text))
+
 
 class CircuitBuilder:
   """Imperative builder producing an immutable Circuit."""

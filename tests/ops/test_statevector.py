@@ -136,6 +136,20 @@ def test_simulate_from_bits(n):
         np.asarray(states[i]).reshape(-1), u[:, i], atol=1e-5)
 
 
+def test_circuit_json_roundtrip():
+  """IR persistence (the reference serializes circuits via cirq protos,
+  reference models/circuit.py:63): to_json/from_json is an exact inverse,
+  including PROT pauli codes, shared slots, and constant gates."""
+  circuit = random_circuit(4, depth=3, seed=77)
+  circuit = circuit.append(ir.CircuitBuilder(4).cz(0, 1).build())  # constant
+  restored = ir.Circuit.from_json(circuit.to_json())
+  assert restored == circuit  # frozen dataclasses: exact structural equality
+  values = jnp.asarray(RNG.uniform(-1, 1, circuit.num_symbols), jnp.float32)
+  np.testing.assert_array_equal(
+      np.asarray(sv.to_vector(sv.simulate(restored, values))),
+      np.asarray(sv.to_vector(sv.simulate(circuit, values))))
+
+
 def test_prot_gate_pauli_alignment_validated():
   """A PROT gate with misaligned pauli codes must fail on EVERY construction
   path -- the engines index codes positionally against qubits, so a silent
