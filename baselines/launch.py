@@ -38,12 +38,13 @@ def tpu_topology_info(topology: str):
   for d in dims:
     chips *= d
   hosts = max(1, chips // 4)
-  # Default mesh: largest power of two for amplitude sharding, remainder
-  # (if any) for data parallelism.
-  state = 1
-  while state * 2 <= chips:
-    state *= 2
+  # Default mesh: amplitude sharding needs a power-of-two 'state' axis, so
+  # use the largest power of two DIVIDING the chip count and put the rest on
+  # 'data' -- data*state == chips always (the previous floor-divide plan
+  # silently idled chips on non-power-of-two topologies like 2x3).
+  state = chips & (-chips)
   data = chips // state
+  assert data * state == chips
   return chips, hosts, {"data": data, "state": state}
 
 

@@ -239,8 +239,8 @@ def get_optimizer(optimizer: str, learning_rate: float):
 def make_information_matrix(qhbm_obj: qhbm.QHBM,
                             modular_hamiltonian_copy: models.Hamiltonian,
                             num_samples: int):
-  """Returns info_matrix(params, key) -> [P, P] estimating the
-  Bogoliubov-Kubo-Mori metric tr[d_j rho d_k K]:
+  """Returns info_matrix(params, key, ebm_state=None) -> [P, P] estimating
+  the Bogoliubov-Kubo-Mori metric tr[d_j rho d_k K]:
 
     * EBM block: sample covariance of the energy gradient (reference
       ebm_block, train.py:177-191);
@@ -250,15 +250,18 @@ def make_information_matrix(qhbm_obj: qhbm.QHBM,
   """
   e_inf = qhbm_obj.e_inference
 
-  def info_matrix(params, key):
+  def info_matrix(params, key, ebm_state=None):
     theta = list(params["theta"])
     phi = list(params["phi"])
     theta_flat, unravel_theta = ravel_pytree(theta)
     phi_flat, unravel_phi = ravel_pytree(phi)
     k_ebm, k_shift = jax.random.split(jax.random.fold_in(key, 7))
 
-    # EBM block: covariance of per-sample energy gradients.
-    samples = e_inf.sample_pure(theta, k_ebm, num_samples).astype(jnp.float32)
+    # EBM block: covariance of per-sample energy gradients.  The sampler
+    # state is THREADED (not read off the inference object) so a jitted
+    # caller never bakes a stale GWG chain into the compiled step.
+    samples, _ = e_inf.sample_with_state(theta, k_ebm, ebm_state, num_samples)
+    samples = samples.astype(jnp.float32)
 
     def energy_grad(x):
       g = jax.grad(
@@ -308,6 +311,43 @@ def make_information_matrix(qhbm_obj: qhbm.QHBM,
     return (im + im.T) / 2.0
 
   return info_matrix
+
+
+def natural_solve(im, grads, training_config):
+  """Solves reg(im) @ nat = grads in the info matrix's [theta; phi] block
+  order and returns (nat_grads pytree, (reg_im, reg, nat_flat)).
+
+  The flattening is EXPLICIT: ravel_pytree on the params dict sorts keys
+  ('phi' < 'theta'), which would pair circuit-gradient entries with
+  EBM-metric rows and vice versa -- shapes match, so the permutation would
+  be silent.  The least-squares solve matches tf.linalg.lstsq's two modes
+  (reference train.py:326-331, config lstsq_fast default False):
+  fast=False -> orthogonal least squares (SVD minimum-norm solution; the l2
+  regularizer is IGNORED, as in TF); fast=True -> Cholesky-style normal
+  equations with l2 regularizer (squares the condition number; cheaper).
+  """
+  if training_config.info_matrix_eigval_reg:
+    min_eig = jnp.min(jnp.linalg.eigvalsh(im))
+    reg = jnp.where(
+        min_eig <= training_config.info_matrix_reg,
+        training_config.info_matrix_reg + jnp.abs(jnp.minimum(min_eig, 0.0)),
+        0.0)
+  else:
+    reg = jnp.asarray(training_config.info_matrix_reg, jnp.float32)
+  reg_im = im + reg * jnp.eye(im.shape[0])
+  g_theta, unravel_theta = ravel_pytree(list(grads["theta"]))
+  g_phi, unravel_phi = ravel_pytree(list(grads["phi"]))
+  flat_grads = jnp.concatenate([g_theta, g_phi])
+  nt = g_theta.shape[0]
+  if training_config.get("lstsq_fast", False):
+    l2 = training_config.lstsq_l2_regularizer
+    lhs = reg_im.T @ reg_im + l2 * jnp.eye(reg_im.shape[0])
+    nat_flat = jnp.linalg.solve(lhs, reg_im.T @ flat_grads)
+  else:
+    nat_flat = jnp.linalg.lstsq(reg_im, flat_grads)[0]
+  nat_grads = {"theta": unravel_theta(nat_flat[:nt]),
+               "phi": unravel_phi(nat_flat[nt:])}
+  return nat_grads, (reg_im, reg, nat_flat)
 
 
 # ---------------------------------------------------------------------------
@@ -384,35 +424,20 @@ def train_model(qhbm_obj: qhbm.QHBM,
   @jax.jit
   def natural_step(p, o, k, state):
     loss, grads, new_state = value_and_grads(p, k, state)
-    im = info_matrix_fn(p, k)
-    if config.training.info_matrix_eigval_reg:
-      min_eig = jnp.min(jnp.linalg.eigvalsh(im))
-      reg = jnp.where(
-          min_eig <= config.training.info_matrix_reg,
-          config.training.info_matrix_reg + jnp.abs(jnp.minimum(min_eig, 0.0)),
-          0.0)
-    else:
-      reg = jnp.asarray(config.training.info_matrix_reg, jnp.float32)
-    reg_im = im + reg * jnp.eye(im.shape[0])
-    flat_grads, unravel = ravel_pytree(grads)
-    # Least-squares solve matching tf.linalg.lstsq's two modes (reference
-    # train.py:326-331, config lstsq_fast default False):
-    #   fast=False -> orthogonal least squares (SVD minimum-norm solution;
-    #     the l2 regularizer is IGNORED, as in TF);
-    #   fast=True  -> Cholesky-style normal equations with l2 regularizer
-    #     (squares the condition number; cheaper).
-    if config.training.get("lstsq_fast", False):
-      l2 = config.training.lstsq_l2_regularizer
-      lhs = reg_im.T @ reg_im + l2 * jnp.eye(reg_im.shape[0])
-      nat_flat = jnp.linalg.solve(lhs, reg_im.T @ flat_grads)
-    else:
-      nat_flat = jnp.linalg.lstsq(reg_im, flat_grads)[0]
-    nat_grads = unravel(nat_flat)
+    # Pass the advanced sampler state: the info matrix's EBM covariance
+    # block continues the equilibrated persistent chain instead of re-running
+    # from the trace-time snapshot every step.
+    im = info_matrix_fn(p, k, new_state)
+    nat_grads, (reg_im, reg, nat_flat) = natural_solve(im, grads,
+                                                       config.training)
     updates, o = optimizer.update(nat_grads, o, p)
     return (loss, grads, optax.apply_updates(p, updates), o, new_state,
             (im, reg_im, reg, nat_flat))
 
   mirror_inner = None
+  # Jitted ONCE: constructing jax.jit(value_and_grads) inside the step loop
+  # would re-trace and re-compile the outer loss/grads on every step.
+  mirror_vag = jax.jit(value_and_grads) if method == "mirror" else None
   if method == "mirror":
     div_fn = vqt_loss.make_vqt(qhbm_obj, mh_copy)
 
@@ -467,8 +492,7 @@ def train_model(qhbm_obj: qhbm.QHBM,
       (loss, grads, params, opt_state, ebm_state, extra) = natural_step(
           params, opt_state, k_step, ebm_state)
     elif method == "mirror":
-      loss, grads, ebm_state = jax.jit(value_and_grads)(params, k_step,
-                                                        ebm_state)
+      loss, grads, ebm_state = mirror_vag(params, k_step, ebm_state)
       anchor = jax.tree_util.tree_map(jnp.asarray, params)
       step_writer = MetricsWriter(
           os.path.join(metrics_dir, f"train_step_{step}"),

@@ -80,13 +80,17 @@ def density_matrix_to_image(dm) -> np.ndarray:
   total_edge = 2**max_qubits
   dm = np.asarray(dm)
   dm_len = dm.shape[0]
-  scale = total_edge // dm_len
+  # Above 9 qubits the matrix is already larger than the target edge:
+  # render at native resolution (scale 1) instead of scale 0, which would
+  # produce empty kron factors and crash the metrics step.
+  scale = max(1, total_edge // dm_len)
+  edge = dm_len * scale
   dm_real = np.abs(np.real(dm))
   dm_imag = np.abs(np.imag(dm))
   max_dm = max(dm_real.max(), dm_imag.max(), 1e-30)
   dm_real = np.kron(dm_real / max_dm, np.ones((scale, scale), np.float32))
   dm_imag = np.kron(dm_imag / max_dm, np.ones((scale, scale), np.float32))
-  zeros = np.zeros((total_edge, total_edge), np.float32)
+  zeros = np.zeros((edge, edge), np.float32)
   img = np.stack([dm_real.astype(np.float32), zeros,
                   dm_imag.astype(np.float32)], axis=-1)
   return img[None]

@@ -81,17 +81,19 @@ def main():
   build = build_apply if args.mode == "apply" else build_grad
   print(f"[fused1q] devices: {jax.devices()}", file=sys.stderr)
 
-  os.environ["QHBM_FUSED_1Q"] = "0"
-  run_plain = build(pqc, n, args.iters)
-  os.environ["QHBM_FUSED_1Q"] = "1"
-  run_fused = build(pqc, n, args.iters)
-  os.environ["QHBM_FUSED_1Q"] = "0"
-
   values = jnp.asarray(
       np.random.RandomState(0).uniform(-1, 1, pqc.num_symbols), jnp.float32)
-  # compile + warm both
-  float(np.asarray(run_plain(values)))
-  float(np.asarray(run_fused(values)))
+  # QHBM_FUSED_1Q is read at TRACE time (statevector._fused_1q_enabled), and
+  # jax.jit traces lazily on the FIRST CALL -- so each variant must be
+  # compiled+warmed while its flag value is still set, or both variants
+  # silently trace the same path and the A/B is a guaranteed wash.
+  os.environ["QHBM_FUSED_1Q"] = "0"
+  run_plain = build(pqc, n, args.iters)
+  float(np.asarray(run_plain(values)))  # trace + warm with flag OFF
+  os.environ["QHBM_FUSED_1Q"] = "1"
+  run_fused = build(pqc, n, args.iters)
+  float(np.asarray(run_fused(values)))  # trace + warm with flag ON
+  os.environ["QHBM_FUSED_1Q"] = "0"
 
   results = {"plain": [], "fused": []}
   for r in range(3):

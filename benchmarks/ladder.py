@@ -133,6 +133,12 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None):
     n = size(16, 6)
     shots = 100 if smoke else 1000
     energy = models.KOBE(list(range(n)), 2)
+    # DELIBERATE workload shaping, not an inverted condition: the measured
+    # rung caps the EBM support at 4 unique states so the parameter-shift
+    # batch ([~1504 evaluations x 2^16 amplitudes] x 1000 shots, see
+    # benchmarks/RESULTS.md r3) stays within one chip's HBM at spec size;
+    # every recorded r3 number used this cap.  The n=6 smoke run is tiny
+    # either way and runs uncapped to exercise the default dedup path.
     e_inf = ebm.AnalyticEnergyInference(
         energy, 100, initial_seed=3,
         max_unique_samples=4 if not smoke else None)

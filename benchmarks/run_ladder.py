@@ -17,16 +17,34 @@ import jax
 
 from benchmarks import ladder
 
+
+def _accel_plugin_installed() -> bool:
+  """True if a PJRT accelerator plugin is installed (checked WITHOUT
+  initializing any backend -- `jax.devices()` would hang on a downed
+  tunnel)."""
+  try:
+    import importlib.metadata as md
+    if list(md.entry_points(group="jax_plugins")):
+      return True
+    import jax_plugins  # namespace package populated by installed plugins
+    return bool(list(getattr(jax_plugins, "__path__", [])))
+  except Exception:
+    return False
+
+
 if os.environ.get("JAX_PLATFORMS", "") == "cpu":
   # The env var alone is IGNORED when an accelerator plugin is present
   # (see .claude/skills/verify/SKILL.md) -- a "CPU" run would initialize
   # the tunneled backend and hang if the tunnel is down.  Force it.
   jax.config.update("jax_platforms", "cpu")
-else:
+elif (any(p in (jax.config.jax_platforms or "") for p in ("axon", "tpu"))
+      or _accel_plugin_installed()):
   # Persistent compilation cache: shields re-runs from compile-service
   # latency on the tunneled backend (ladder rungs compile for 30s-4min).
-  # Harmless if the backend ignores it; skipped on CPU runs, where XLA:CPU
-  # AOT entries are machine-feature-pinned and can SIGILL on another host.
+  # Gated on an accelerator plugin actually being configured -- NOT just on
+  # the env var -- because on a CPU-only host the cache would store XLA:CPU
+  # AOT entries, which are machine-feature-pinned and can SIGILL when the
+  # cache dir is reused from a host with different CPU features.
   try:
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -79,13 +97,17 @@ def main():
   args = parser.parse_args()
 
   rungs = [args.rung] if args.rung else list(ladder.RUNGS)
+  failed = 0
   for name in rungs:
     try:
       result = run_rung(name, args.steps, args.smoke, args.qubits)
     except Exception as e:  # noqa: BLE001
       result = {"rung": name, "error": f"{type(e).__name__}: {e}"}
+      failed += 1
     print(json.dumps(result), flush=True)
-  sys.exit(0)
+  # Per-rung failures are reported as JSON lines rather than aborting the
+  # ladder, but the PROCESS must not claim success when rungs failed.
+  sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":

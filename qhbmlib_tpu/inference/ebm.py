@@ -163,6 +163,15 @@ class EnergyInference(EnergyInferenceBase):
     support, counts = self.support_and_counts(theta, key)
     return support, counts, state
 
+  def sample_with_state(self, theta, key, state, num_samples: int):
+    """Raw samples with sampler-state threading: (samples, new_state).
+
+    Stateless samplers ignore and pass through `state`; GWG overrides this
+    to advance its persistent chain, so jitted consumers (e.g. the BKM
+    info matrix's EBM covariance block, baselines/train.py) never bake a
+    stale chain into the compiled program."""
+    return self.sample_pure(theta, key, num_samples), state
+
   def expectation_pure_with_state(self, theta, f, f_params, key, state=None):
     """Like `expectation_pure` but threads sampler state: (avg, new_state)."""
     support, counts, new_state = self.support_counts_state(theta, key, state)
@@ -465,6 +474,8 @@ class GibbsWithGradientsInference(EnergyInference):
 
   def sample_with_state(self, theta, key, chain_state, num_samples: int):
     """(samples [num_samples, n], new_chain_state)."""
+    if chain_state is None:
+      chain_state = self._chain_state
     steps = -(-num_samples // self.num_chains)
     samples, final_state = self.run_chains(theta, key, chain_state, steps)
     flat = samples.reshape(-1, samples.shape[-1])[:num_samples]

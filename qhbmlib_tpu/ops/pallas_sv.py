@@ -527,6 +527,14 @@ def apply_circuit_pallas_batched(circuit: ir.Circuit,
 # benchmarks/segment_probe.py for the per-segment breakdown).  The kernel is
 # therefore kept OPT-IN (QHBM_FUSED_1Q=1) as an experiment, not wired as a
 # default production path.
+#
+# CAVEAT (found in review, 2026-08-18): the measuring script had a trace-time
+# flag bug -- QHBM_FUSED_1Q was restored to "0" before jax.jit's lazy first
+# call, so BOTH variants may have traced the plain path and the numbers
+# above could be plain-vs-plain.  The script is fixed; the A/B must be
+# RE-MEASURED on hardware before this WASH conclusion is trusted.  The
+# independent segment_probe.py evidence (hand-tiled Pallas streaming loses
+# 25% to XLA elementwise at these sizes) still supports the opt-in default.
 
 def _fused_1q_kernel(k1, k2, c, stages):
   n1, n2 = 2**k1, 2**k2

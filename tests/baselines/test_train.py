@@ -63,6 +63,33 @@ def test_vqt_methods_run(tmp_path, method):
   assert fid and 0.0 <= fid[-1] <= 1.0 + 1e-6
 
 
+def test_natural_solve_block_order():
+  """The natural-gradient flatten order must match the info matrix's
+  [theta; phi] block layout.  Regression: ravel_pytree on the params dict
+  sorts keys ('phi' < 'theta'), silently pairing circuit gradients with
+  EBM-metric rows (shapes match, no error)."""
+  import jax.numpy as jnp
+  import ml_collections
+
+  tc = ml_collections.ConfigDict()
+  tc.info_matrix_eigval_reg = False
+  tc.info_matrix_reg = 0.0
+  tc.lstsq_fast = False
+  tc.lstsq_l2_regularizer = 0.0
+
+  # Block-diagonal metric with distinct scales: theta entries (Pt=2) are
+  # divided by 2, phi entries (Pp=3) by 10.  A permuted flatten would divide
+  # the wrong blocks.
+  im = jnp.diag(jnp.asarray([2.0, 2.0, 10.0, 10.0, 10.0], jnp.float32))
+  grads = {"theta": [jnp.asarray([2.0, 4.0])],
+           "phi": [jnp.asarray([10.0, 20.0, 30.0])]}
+  nat, _ = train.natural_solve(im, grads, tc)
+  np.testing.assert_allclose(np.asarray(nat["theta"][0]), [1.0, 2.0],
+                             rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(nat["phi"][0]), [1.0, 2.0, 3.0],
+                             rtol=1e-5)
+
+
 def test_qvartz_runs(tmp_path):
   config = _small_config("qvartz", "vanilla")
   results = train.run_experiment(config, str(tmp_path / "qvartz"), seed=3)
