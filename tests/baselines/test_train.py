@@ -119,6 +119,38 @@ def test_vanilla_vqt_converges_toward_target(tmp_path):
   assert fid[-1] > 0.9
 
 
+@pytest.mark.slow
+def test_natural_vqt_converges_toward_target(tmp_path):
+  """Natural gradient actually trains (regression for the silent flatten
+  permutation in the metric solve, which produced garbage directions while
+  logging plausible metrics)."""
+  config = _small_config("vqt", "natural")
+  config.dataset.beta_steps = 1
+  config.dataset.beta_min = 1.0
+  config.dataset.beta_max = 1.0
+  config.model.circuit_layers = 2
+  config.training.init_steps = 40
+  config.training.learning_rate = 0.05
+  config.logging.expensive_downsample = 39
+  results = train.run_experiment(config, str(tmp_path / "natconv"), seed=4)
+  losses = _read_metrics(results, "beta_1p0", "loss")
+  fid = _read_metrics(results, "beta_1p0", "fidelity")
+  assert losses[-1] < losses[0]
+  assert fid[-1] > 0.85
+
+
+def test_gwg_natural_runs(tmp_path):
+  """GWG EBM + natural gradient: the info matrix's EBM covariance block
+  samples through the threaded chain state (no trace-time snapshot)."""
+  config = _small_config("vqt", "natural", **{
+      "model.ebm": "gwg",
+      "model.gwg_burnin": 20,
+  })
+  results = train.run_experiment(config, str(tmp_path / "gwgnat"), seed=6)
+  losses = _read_metrics(results, "beta_0p5", "loss")
+  assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
 def test_kill_and_resume(tmp_path, monkeypatch):
   """An interrupted QVARTZ sequence resumes from the latest checkpoint:
   finished data points are restored (not retrained) and the sequence
