@@ -33,7 +33,6 @@ adjoint gradient TFQ's C++ engine provides behind tfq.layers.Expectation
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
@@ -50,18 +49,12 @@ from qhbmlib_tpu.ops import circuit_ir as ir
 from qhbmlib_tpu.ops import pallas_sv
 from qhbmlib_tpu.ops import statevector as sv
 
-# The sweep holds 4 state planes + temporaries; cap the state size so two
-# complex states fit VMEM with headroom.
-_MAX_STATE_BYTES = 8 << 20
-
-
 def supported(circuit: ir.Circuit) -> bool:
-  if pltpu is None:
-    return False
-  n = circuit.num_qubits
-  if n < 8 or 8 * 2**n > _MAX_STATE_BYTES:
-    return False
-  return pallas_sv.supported(circuit)
+  """Same admission bound as the forward kernel (pallas_sv._MAX_STATE_BYTES
+  caps one complex state at 8MB): the sweep holds 4 state planes +
+  temporaries, which fits VMEM whenever the forward's 2-plane budget does.
+  One shared bound keeps the two gates from silently diverging."""
+  return pltpu is not None and pallas_sv.supported(circuit)
 
 
 def _prepare_backward(circuit: ir.Circuit, angles, shape_rc,
@@ -156,10 +149,6 @@ def _prepare_backward(circuit: ir.Circuit, angles, shape_rc,
       }))
     else:  # diag
       coeffs, rms, cms, owner = sv.diag_segment_triples(seg_gates, nr, m)
-      weighted = jnp.stack(
-          [jnp.asarray(coeffs[k], jnp.float32) *
-           jnp.asarray(seg_angles[owner[k]], jnp.float32)
-           for k in range(len(coeffs))])
       rmask = jnp.asarray(np.asarray(rms, np.int32)[None, :])  # [1, K]
       cmask = jnp.asarray(np.asarray(cms, np.int32)[:, None])  # [K, 1]
       if rot_planes:
@@ -169,6 +158,10 @@ def _prepare_backward(circuit: ir.Circuit, angles, shape_rc,
         inputs.append((rmask, cmask, jnp.cos(theta).astype(dt),
                        jnp.sin(theta).astype(dt)))
       else:
+        weighted = jnp.stack(
+            [jnp.asarray(coeffs[k], jnp.float32) *
+             jnp.asarray(seg_angles[owner[k]], jnp.float32)
+             for k in range(len(coeffs))])
         descs.append(("bwddiag", len(rms)))
         inputs.append((weighted[None, :], rmask, cmask))
       grad_gates = tuple(
@@ -252,7 +245,7 @@ def _block_transition_parts(l_re, l_im, a_re, a_im, start, k, r, c):
   return g_re, g_im
 
 
-def _make_bwd_kernel(descs, r, c, t_count, num_inputs_per_period,
+def _make_bwd_kernel(descs, r, c, t_count,
                      num_outputs_per_period, batched: bool = False):
   """Reverse-sweep kernel body.  Input refs: [a_re, a_im, l_re, l_im] +
   per-desc inputs (leading [T] when t_count > 1).  Output refs: reduction
@@ -482,7 +475,7 @@ def adjoint_sweep(circuit: ir.Circuit,
 
   out_shapes = _out_shapes_for(descs, r, c, t_count)
   num_out = len(out_shapes)
-  kernel = _make_bwd_kernel(descs, r, c, t_count, len(inputs) + 4, num_out)
+  kernel = _make_bwd_kernel(descs, r, c, t_count, num_out)
   if num_out == 0:
     return jnp.zeros_like(symbol_values)
 
@@ -501,8 +494,7 @@ def adjoint_sweep(circuit: ir.Circuit,
   kwargs = {}
   if not interpret and pltpu is not None:
     kwargs["compiler_params"] = pltpu.CompilerParams(
-        vmem_limit_bytes=int(
-            os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20)))
+        vmem_limit_bytes=pallas_sv._vmem_budget_bytes())
   outputs = pl.pallas_call(
       kernel,
       out_shape=out_shapes,
@@ -521,12 +513,12 @@ def batched_supported(circuit: ir.Circuit) -> bool:
   rotation planes stay resident while 4 state planes stream per grid step."""
   if not supported(circuit):
     return False
-  plane = 4 * 2**circuit.num_qubits
-  n_diag = sum(1 for cls, _ in sv.segment_circuit(circuit.gates)
-               if cls == "diag")
-  resident = (2 * n_diag + 14) * plane
-  return resident <= int(
-      os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20))
+  plane = 4 * 2**circuit.num_qubits  # one f32 [R, C] plane
+  # Price the resident rotation planes at their ACTUAL dtype (bf16 under
+  # the default MXU precision halves them -- pallas_sv._rot_plane_bytes);
+  # pricing them at f32 rejected shapes the kernel was designed to handle.
+  resident = 14 * plane + pallas_sv._rot_plane_bytes(circuit)
+  return resident <= pallas_sv._vmem_budget_bytes()
 
 
 def adjoint_sweep_batched(circuit: ir.Circuit,
@@ -567,7 +559,7 @@ def adjoint_sweep_batched(circuit: ir.Circuit,
   num_out = len(per_state_shapes)
   if num_out == 0:
     return jnp.zeros_like(symbol_values)
-  kernel = _make_bwd_kernel(descs, r, c, t_count, len(inputs) + 4, num_out,
+  kernel = _make_bwd_kernel(descs, r, c, t_count, num_out,
                             batched=True)
 
   planes = [jnp.real(psi).astype(jnp.float32),
@@ -589,8 +581,7 @@ def adjoint_sweep_batched(circuit: ir.Circuit,
   kwargs = {}
   if not interpret and pltpu is not None:
     kwargs["compiler_params"] = pltpu.CompilerParams(
-        vmem_limit_bytes=int(
-            os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20)))
+        vmem_limit_bytes=pallas_sv._vmem_budget_bytes())
   outputs = pl.pallas_call(
       kernel,
       grid=(bsz,),

@@ -28,8 +28,11 @@ Layered circuits (identical static segment structure per layer) compile as
 a `fori_loop` over layers with per-layer parameters indexed from stacked
 inputs, keeping Mosaic program size independent of depth.
 
-Enabled by default on TPU for supported circuits when it wins; opt-out via
-QHBM_PALLAS=0 (see statevector.apply_circuit).
+OPT-IN: the whole-circuit forward/adjoint kernels dispatch only under
+QHBM_PALLAS=1 and the grid-over-batch kernels under QHBM_PALLAS_BATCHED=1
+(see statevector.apply_circuit / adjoint._use_pallas_batched); the XLA
+block-matmul engine remains the default production path (measured faster
+at the full-train-step level, benchmarks/RESULTS.md).
 """
 
 from __future__ import annotations
@@ -82,7 +85,8 @@ def _prepare_segments(circuit: ir.Circuit, angles, shape_rc):
   Stage kinds:
     ("rowblock", (start, k))  input [2^k, 2^k] complex -> (re, im) pair
     ("minor_mm", None)        input [C, C] complex transposed -> (re, im)
-    ("diag_mm", (rms, cms))   input [1, K] float32 weighted angles
+    ("diag_mm", K)            input 3-tuple (weighted [1,K] float32
+                              angles, rmask [1,K] int32, cmask [K,1] int32)
   """
   r, c = shape_rc
   n = circuit.num_qubits
@@ -133,17 +137,6 @@ def _prepare_segments(circuit: ir.Circuit, angles, shape_rc):
       descs.append(("diag_mm", len(rms)))
       inputs.append((weighted[None, :], rmask, cmask))
   return tuple(descs), inputs
-
-
-def _xor_parity_sign(idx: jnp.ndarray, mask: int) -> jnp.ndarray:
-  """(-1)^popcount(idx & mask) as float32, via xor-folding (no popcount)."""
-  if mask == 0:
-    return jnp.ones(idx.shape, jnp.float32)
-  v = jnp.bitwise_and(idx, jnp.int32(mask))
-  for shift in (16, 8, 4, 2, 1):
-    v = jnp.bitwise_xor(v, v >> shift)
-  par = jnp.bitwise_and(v, 1)
-  return (1 - 2 * par).astype(jnp.float32)
 
 
 def _sign_matrix(idx: jnp.ndarray, mask_arr: jnp.ndarray) -> jnp.ndarray:
@@ -417,8 +410,12 @@ def _make_batched_kernel(descs, r, c, t_count):
   return kernel
 
 
+# Default scoped VMEM cap passed to every pallas_call in this kernel family.
+_DEFAULT_VMEM_LIMIT = 114 << 20
+
+
 def _vmem_budget_bytes() -> int:
-  return int(os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20))
+  return int(os.environ.get("QHBM_PALLAS_VMEM_LIMIT", _DEFAULT_VMEM_LIMIT))
 
 
 # Physical VMEM on v5e/v5p-class chips; Mosaic reports OOM against this.
@@ -442,7 +439,16 @@ def batched_supported(circuit: ir.Circuit) -> bool:
   if not supported(circuit):
     return False
   plane = 4 * 2**circuit.num_qubits  # one f32 [R, C] plane
-  return 25 * plane + _rot_plane_bytes(circuit) <= _PHYS_VMEM_BYTES
+  # The 25-plane estimate is calibrated against the PHYSICAL OOM boundary
+  # (the kernel compiles fine under the default scoped cap at the flagship
+  # 20q/4L shape -- spill slots are not all charged to the scoped limit).
+  # A user-tightened QHBM_PALLAS_VMEM_LIMIT shifts the admission boundary
+  # by the same delta, so admission can never say yes to a shape the
+  # tighter compile cap will reject (which would turn the transparent XLA
+  # fallback into a Mosaic compile crash).
+  boundary = _PHYS_VMEM_BYTES + min(0, _vmem_budget_bytes()
+                                    - _DEFAULT_VMEM_LIMIT)
+  return 25 * plane + _rot_plane_bytes(circuit) <= boundary
 
 
 def apply_circuit_pallas_batched(circuit: ir.Circuit,
@@ -616,8 +622,7 @@ def fused_blocks_minor_apply(state: jnp.ndarray,
   kwargs = {}
   if not interpret and pltpu is not None:
     kwargs["compiler_params"] = pltpu.CompilerParams(
-        vmem_limit_bytes=int(
-            os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20)))
+        vmem_limit_bytes=_vmem_budget_bytes())
     kwargs["input_output_aliases"] = {0: 0, 1: 1}
   o_re, o_im = pl.pallas_call(
       kernel,
@@ -662,8 +667,7 @@ def apply_circuit_pallas(circuit: ir.Circuit,
     # VMEM on v5e+ (~128MB); the whole-circuit kernel needs state planes +
     # working copies resident, so raise the cap explicitly.
     kwargs["compiler_params"] = pltpu.CompilerParams(
-        vmem_limit_bytes=int(
-            os.environ.get("QHBM_PALLAS_VMEM_LIMIT", 114 << 20)))
+        vmem_limit_bytes=_vmem_budget_bytes())
     # The output planes reuse the input state planes' VMEM (saves 2 plane
     # allocations and the copy-out).
     kwargs["input_output_aliases"] = {0: 0, 1: 1}
