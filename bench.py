@@ -73,9 +73,7 @@ def build_train_step(cfg):
   from qhbmlib_tpu.ops import paulis
 
   n = cfg["n"]
-  terms = [(-1.0, {q: "X"}) for q in range(n)]
-  terms += [(-1.0, {q: "Z", q + 1: "Z"}) for q in range(n - 1)]
-  target = paulis.pauli_sum_from_strings(n, terms)
+  target = paulis.tfim_1d(n)  # open chain: the recorded workload
 
   energy = models.BernoulliEnergy(list(range(n)))
   e_inf = ebm.BernoulliEnergyInference(energy, cfg["samples"],
@@ -164,9 +162,7 @@ def measure_pauli_expectations(cfg, iters=16):
   from qhbmlib_tpu.ops import paulis
 
   n, batch = cfg["n"], cfg["max_unique"]
-  terms = [(-1.0, {q: "X"}) for q in range(n)]
-  terms += [(-1.0, {q: "Z", q + 1: "Z"}) for q in range(n - 1)]
-  target = paulis.pauli_sum_from_strings(n, terms)
+  target = paulis.tfim_1d(n)  # open chain: the recorded workload
   circuit = models.DirectQuantumCircuit(
       circuit_utils.hardware_efficient_ansatz(n, cfg["layers"]))
   q_inf = qnn.AnalyticQuantumInference(circuit)
@@ -314,7 +310,12 @@ def _emit_fallback():
         recorded = json.load(f)
     except Exception:  # pragma: no cover - corrupt file -> CPU fallback
       recorded = None
-  if recorded and recorded.get("metric") == metric and recorded.get("value"):
+  rec_cfg = (recorded or {}).get("extra", {}).get("workload")
+  if (recorded and recorded.get("metric") == metric and recorded.get("value")
+      and (rec_cfg is None or rec_cfg == cfg)):
+    # rec_cfg None = a legacy recording without config provenance (accepted
+    # on metric match); otherwise the exact workload dict must match so a
+    # smoke-config run can never masquerade as the headline workload.
     extra = dict(recorded.get("extra") or {})
     extra.update({
         "platform": "tpu-recorded-stale",
@@ -348,6 +349,12 @@ def _emit_fallback():
   }))
 
 
+def _live_platform():
+  """Platform of the backend the measurement actually ran on."""
+  import jax
+  return jax.devices()[0].platform
+
+
 def _record_last_tpu(stdout_text):
   """Persist the successful accelerator result for future fallback JSONs."""
   if os.environ.get("QHBM_BENCH_PLATFORM") == "cpu":
@@ -355,8 +362,15 @@ def _record_last_tpu(stdout_text):
   try:
     parsed = json.loads(stdout_text.strip().splitlines()[-1])
     if parsed.get("extra", {}).get("platform") in ("cpu-fallback",
-                                                   "tpu-recorded-stale"):
-      return  # fallback re-emissions are not fresh accelerator evidence
+                                                   "tpu-recorded-stale",
+                                                   "cpu"):
+      # Fallback re-emissions are not fresh accelerator evidence, and a
+      # child that silently initialized the CPU backend (no accelerator
+      # plugin present) must not be recorded as a TPU measurement either.
+      return
+    wl = parsed.get("extra", {}).get("workload")
+    if wl is not None and wl not in WORKLOADS.values():
+      return  # ad-hoc smoke workloads must not overwrite the headline record
     parsed["recorded_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime())
     with open(LAST_TPU_PATH, "w") as f:
@@ -410,7 +424,9 @@ def main():
         "value": round(sps, 4),
         "unit": "steps/s",
         "vs_baseline": _ratio(sps, base),
-        "extra": {"matmul_precision": PRECISION},
+        "extra": {"matmul_precision": PRECISION,
+                  "platform": _live_platform(),
+                  "workload": smoke},
     }))
     return
 
@@ -423,6 +439,8 @@ def main():
       "steps_per_sec_20q": round(sps20, 4),
       "vs_baseline_20q": _ratio(sps20, base20),
       "matmul_precision": PRECISION,
+      "platform": _live_platform(),
+      "workload": WORKLOADS["24q"],
   }
   try:
     extra["pauli_expectations_per_sec_20q"] = round(

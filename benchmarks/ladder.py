@@ -31,9 +31,7 @@ from qhbmlib_tpu.parallel import mesh as mesh_lib
 
 
 def _tfim(n, h=1.0, j=1.0):
-  terms = [(-h, {q: "X"}) for q in range(n)]
-  terms += [(-j, {q: "Z", (q + 1) % n: "Z"}) for q in range(n - 1)]
-  return paulis.pauli_sum_from_strings(n, terms)
+  return paulis.tfim_1d(n, h, j)  # open chain: the recorded workload
 
 
 def _heisenberg(n, j=1.0):

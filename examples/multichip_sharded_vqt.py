@@ -38,9 +38,8 @@ from qhbmlib_tpu.ops import paulis
 
 
 def tfim_1d(n, h=1.0, j=1.0):
-  terms = [(-h, {q: "X"}) for q in range(n)]
-  terms += [(-j, {q: "Z", q + 1: "Z"}) for q in range(n - 1)]
-  return paulis.pauli_sum_from_strings(n, terms)
+  """H = -h sum X_i - j sum Z_i Z_{i+1} (open chain)."""
+  return paulis.tfim_1d(n, h, j)
 
 
 def main():

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from qhbmlib_tpu.data import quantum_data
 from qhbmlib_tpu.models import hamiltonian as hamiltonian_model
-from qhbmlib_tpu.ops import paulis
 from qhbmlib_tpu.ops import statevector as sv
 
 

@@ -142,6 +142,12 @@ class QuantumCircuit:
         else:
           x = layer.apply(layer.variables, x)
       segments.append(jnp.reshape(jnp.asarray(x, jnp.float32), [-1]))
+    if i != len(flat):
+      # Mirror set_trainable_variables' strictness: silently ignoring
+      # trailing arrays would turn a parameter-ordering bug downstream into
+      # wrong symbol values with no error.
+      raise ValueError(f"{self.name}: expected {i} flat variables, got "
+                       f"{len(flat)}")
     if not segments:
       return jnp.zeros([0], jnp.float32)
     return jnp.concatenate(segments, axis=0)
@@ -172,12 +178,19 @@ class QuantumCircuit:
     if set(self._symbol_names) & set(other._symbol_names):
       raise ValueError("Circuits to be summed must not have symbols in common.")
     new_pqc = self._pqc.append(other._pqc)
-    return QuantumCircuit(
+    combined = QuantumCircuit(
         new_pqc,
         tuple(self._symbol_names) + tuple(other._symbol_names),
         self._value_layers_inputs + other._value_layers_inputs,
         self._value_layers + other._value_layers,
         name=f"{self.name}_{other.name}")
+    # Share (alias) the summands' input lists so variable updates propagate,
+    # exactly like __pow__: the reference's summands share tf.Variables
+    # (reference circuit.py:138-162), and the constructor above re-wraps
+    # the inner lists into fresh copies.
+    combined._value_layers_inputs = (self._value_layers_inputs +
+                                     other._value_layers_inputs)
+    return combined
 
   def __pow__(self, exponent: int) -> "QuantumCircuit":
     """Inverse circuit; shares this circuit's variables (reference

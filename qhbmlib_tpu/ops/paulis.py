@@ -136,6 +136,23 @@ def pauli_sum_from_strings(
       num_qubits=num_qubits)
 
 
+def tfim_1d(num_qubits: int, h: float = 1.0, j: float = 1.0,
+            periodic: bool = False) -> PauliSum:
+  """H = -h*sum_q X_q - j*sum_q Z_q Z_{q+1}: open chain by default, ring
+  with `periodic=True`.
+
+  The single shared builder for the benchmark/driver TFIM workloads (their
+  recorded numbers use the open chain); the reference's baselines TFIM is
+  the periodic variant split into per-shard PauliSums
+  (reference baselines/train.py:46-61, rebuilt in
+  baselines/train.py get_tfim_hamiltonian).
+  """
+  terms = [(-h, {q: "X"}) for q in range(num_qubits)]
+  last = num_qubits if periodic else num_qubits - 1
+  terms += [(-j, {q: "Z", (q + 1) % num_qubits: "Z"}) for q in range(last)]
+  return pauli_sum_from_strings(num_qubits, terms)
+
+
 def z_strings_from_masks(masks: Sequence[Sequence[int]],
                          num_qubits: int) -> Tuple[PauliSum, ...]:
   """One single-term Z-string PauliSum per mask row (operator shards).

@@ -61,10 +61,31 @@ def weighted_average(counts: jnp.ndarray, values) -> jnp.ndarray:
 
 
 def bits_to_ints(bitstrings: jnp.ndarray) -> jnp.ndarray:
-  """Big-endian [..., n] bits -> integer codes (int32; requires n <= 31)."""
+  """Big-endian [..., n] bits -> integer codes (int32; requires n <= 31).
+
+  Raises for wider rows instead of silently wrapping (2^31 would overflow
+  int32 and distinct bitstrings would collide); multi-word consumers use
+  `_bit_code_words`."""
   n = bitstrings.shape[-1]
+  if n > 31:
+    raise ValueError(f"bits_to_ints holds at most 31 bits in int32; got "
+                     f"n={n} (use _bit_code_words / ints_to_bits per word)")
   weights = jnp.asarray(2**np.arange(n - 1, -1, -1, dtype=np.int64), jnp.int32)
   return jnp.sum(bitstrings.astype(jnp.int32) * weights, axis=-1)
+
+
+def _bit_code_words(bitstrings: jnp.ndarray) -> jnp.ndarray:
+  """[batch, W] int32 code words (31 bits per word) for arbitrary n."""
+  n = bitstrings.shape[-1]
+  return jnp.stack([bits_to_ints(bitstrings[..., s:s + 31])
+                    for s in range(0, n, 31)], axis=-1)
+
+
+def _words_to_bits(words: jnp.ndarray, n: int) -> jnp.ndarray:
+  """Inverse of `_bit_code_words`: [..., W] words -> [..., n] int8 bits."""
+  parts = [ints_to_bits(words[..., w], min(31, n - 31 * w))
+           for w in range((n + 30) // 31)]
+  return jnp.concatenate(parts, axis=-1)
 
 
 def ints_to_bits(ints: jnp.ndarray, num_bits: int) -> jnp.ndarray:
@@ -107,16 +128,25 @@ def unique_bitstrings_with_counts(
     counts: [size] int32 occurrence counts.
   """
   n = bitstrings.shape[-1]
-  codes = bits_to_ints(bitstrings)
+  # One int32 code for n <= 31; [W]-word code rows beyond that (a single
+  # int32 code would silently wrap and collide distinct bitstrings -- the
+  # large-n regime is exactly where the MCMC samplers operate).
+  wide = n > 31
+  codes = _bit_code_words(bitstrings) if wide else bits_to_ints(bitstrings)
+  axis_kw = dict(axis=0) if wide else {}
+  decode = ((lambda u: _words_to_bits(u, n)) if wide
+            else (lambda u: ints_to_bits(u, n)))
   batch = codes.shape[0]
   if size is None:
     uniq, idx, counts = jnp.unique(codes, return_inverse=True,
-                                   return_counts=True)
+                                   return_counts=True, **axis_kw)
+    idx = jnp.reshape(idx, (batch,))  # axis-unique may return [batch, 1]
   elif size >= batch:
     # Overflow impossible (at most `batch` uniques exist).
     uniq, idx, counts = jnp.unique(codes, return_inverse=True,
                                    return_counts=True, size=size,
-                                   fill_value=0)
+                                   fill_value=0, **axis_kw)
+    idx = jnp.reshape(idx, (batch,))  # axis-unique may return [batch, 1]
     # jnp.unique counts the fill_value rows; recompute counts by scatter-add
     # so padding rows get exactly zero.
     counts = jnp.zeros_like(counts).at[idx].add(1)
@@ -125,16 +155,17 @@ def unique_bitstrings_with_counts(
     # keep the top-`size` rows by count.
     full_u, full_idx, full_c = jnp.unique(codes, return_inverse=True,
                                           return_counts=True, size=batch,
-                                          fill_value=0)
+                                          fill_value=0, **axis_kw)
+    full_idx = jnp.reshape(full_idx, (batch,))
     full_c = jnp.zeros_like(full_c).at[full_idx].add(1)
     counts, top_pos = jax.lax.top_k(full_c, size)
-    uniq = jnp.take(full_u, top_pos)
+    uniq = jnp.take(full_u, top_pos, axis=0)
     # Map each input row to its kept slot; dropped rows map to `size` (out
     # of bounds), preserving the drop-on-scatter / clamp-on-gather contract.
     pos_map = jnp.full((batch,), size, jnp.int32).at[top_pos].set(
         jnp.arange(size, dtype=jnp.int32))
     idx = jnp.take(pos_map, full_idx)
-  return ints_to_bits(uniq, n).astype(bitstrings.dtype), idx, counts
+  return decode(uniq).astype(bitstrings.dtype), idx, counts
 
 
 def expand_unique_results(y: jnp.ndarray, idx: jnp.ndarray,

@@ -91,6 +91,42 @@ def test_fallback_on_hung_child_without_recording_is_cpu(bench, monkeypatch,
   assert parsed["extra"]["platform"] == "cpu-fallback"
 
 
+def test_cpu_platform_child_is_not_recorded_as_tpu(bench):
+  """A child that silently initialized the CPU backend (no accelerator
+  plugin) must not produce accelerator evidence."""
+  out = json.dumps({"value": 5.0, "metric": "vqt_train_steps_per_sec_24q",
+                    "extra": {"platform": "cpu"}}) + "\n"
+  bench._record_last_tpu(out)
+  assert not os.path.exists(bench.LAST_TPU_PATH)
+
+
+def test_smoke_workload_never_overwrites_headline_record(bench):
+  out = json.dumps({
+      "value": 99.0, "metric": "vqt_train_steps_per_sec_24q",
+      "extra": {"platform": "axon",
+                "workload": {"n": 24, "layers": 1, "samples": 10,
+                             "max_unique": 2}}}) + "\n"
+  bench._record_last_tpu(out)
+  assert not os.path.exists(bench.LAST_TPU_PATH)
+
+
+def test_fallback_rejects_workload_mismatch(bench, monkeypatch, capsys):
+  """A recording of a DIFFERENT workload config under the same metric name
+  must not be re-emitted as 'this exact workload'."""
+  monkeypatch.setattr(bench, "_run_accel_child", lambda: (None, ""))
+  monkeypatch.setattr(bench, "cpu_baseline", lambda name, cfg: 0.003)
+  with open(bench.LAST_TPU_PATH, "w") as f:
+    json.dump({"value": 99.0, "metric": "vqt_train_steps_per_sec_24q",
+               "vs_baseline": 12345.0,
+               "extra": {"workload": {"n": 24, "layers": 1, "samples": 10,
+                                      "max_unique": 2}}}, f)
+  monkeypatch.setattr(sys, "argv", ["bench.py"])
+  bench.main()
+  parsed = _parse_last_json(capsys)
+  assert parsed["extra"]["platform"] == "cpu-fallback"
+  assert parsed["value"] == 0.003
+
+
 def test_stale_reemission_is_never_rerecorded(bench):
   stale = json.dumps({"value": 2.45,
                       "extra": {"platform": "tpu-recorded-stale"}}) + "\n"

@@ -44,6 +44,25 @@ def test_add_shared_symbols_raises():
     _ = c1 + c2
 
 
+def test_add_shares_variables():
+  """Summand variable updates propagate to the combined circuit, like the
+  reference's shared tf.Variables (reference circuit.py:138-162)."""
+  a = models.DirectQuantumCircuit(
+      circuit_utils.hardware_efficient_ansatz(2, 1))
+  b = models.DirectQuantumCircuit(
+      circuit_utils.rx_ansatz(2), name="b")
+  total = a + b
+  before = np.asarray(total.symbol_values)
+  a.set_trainable_variables([v + 0.25 for v in a.trainable_variables])
+  b.set_trainable_variables([v - 0.5 for v in b.trainable_variables])
+  after = np.asarray(total.symbol_values)
+  assert not np.allclose(after, before)
+  expected = np.concatenate([np.asarray(v).reshape(-1)
+                             for v in a.trainable_variables +
+                             b.trainable_variables])
+  np.testing.assert_allclose(np.sort(after), np.sort(expected), atol=1e-6)
+
+
 def test_pow_inverse_shares_variables():
   c = models.DirectQuantumCircuit(
       circuit_utils.hardware_efficient_ansatz(2, 1))

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qhbmlib_tpu import utils
 
@@ -72,6 +73,36 @@ def test_unique_bitstrings_overflow_keeps_highest_counts():
   under_jit = jax.jit(
       lambda b: utils.unique_bitstrings_with_counts(b, size=2))(batch)
   np.testing.assert_array_equal(np.asarray(under_jit[2]), np.asarray(counts))
+
+
+def test_unique_bitstrings_wide_rows_no_int32_collision():
+  """n > 31 bits: a single int32 code would wrap (2^31, 2^32 -> collisions);
+  the multi-word path keeps distinct 40-bit strings distinct."""
+  n = 40
+  rows = np.zeros((6, n), np.int8)
+  rows[0, 0] = 1   # bit 39 (weight 2^39) -- wraps to 0 in int32
+  rows[1, 8] = 1   # bit 31 (weight 2^31) -- wraps negative in int32
+  rows[2, 39] = 1  # bit 0
+  rows[3] = rows[0]
+  # rows[4], rows[5] stay all-zero.
+  batch = jnp.asarray(rows)
+  y, idx, counts = utils.unique_bitstrings_with_counts(batch, size=6)
+  kept = {tuple(np.asarray(y[i])): int(counts[i]) for i in range(6)
+          if int(counts[i])}
+  assert kept[tuple(rows[0])] == 2
+  assert kept[tuple(rows[1])] == 1
+  assert kept[tuple(rows[2])] == 1
+  assert kept[tuple(np.zeros(n, np.int8))] == 2
+  assert len(kept) == 4
+  # Expansion reconstructs the original batch.
+  np.testing.assert_array_equal(
+      np.asarray(utils.expand_unique_results(y, idx)), rows)
+  # The truncating top-count path works on wide rows too.
+  y2, _, c2 = utils.unique_bitstrings_with_counts(batch, size=2)
+  kept2 = {tuple(np.asarray(y2[i])): int(c2[i]) for i in range(2)}
+  assert kept2 == {tuple(rows[0]): 2, tuple(np.zeros(n, np.int8)): 2}
+  with pytest.raises(ValueError, match="31 bits"):
+    utils.bits_to_ints(batch)
 
 
 def test_expand_unique_results_fill_value_marks_dropped_rows():
