@@ -70,9 +70,19 @@ class Gate:
 
   def __post_init__(self):
     # Validate on EVERY construction path (builder, dataclasses.replace,
-    # direct Gate(...)): consumers index `paulis` positionally against
-    # `qubits` (the engines zip them; the native oracle packs len(qubits)
-    # slots per gate), so a mismatch silently desynchronizes simulators.
+    # direct Gate(...), from_dict): consumers index `paulis` positionally
+    # against `qubits` (the engines zip them; the native oracle packs
+    # len(qubits) slots per gate), so a mismatch silently desynchronizes
+    # simulators, and a wrong arity or negative qubit would index the
+    # packed C arrays out of bounds.
+    if any(q < 0 for q in self.qubits):
+      raise ValueError(f"gate qubits must be non-negative: {self.qubits}")
+    if self.kind in ONE_QUBIT_KINDS and len(self.qubits) != 1:
+      raise ValueError(f"{self.kind!r} takes 1 qubit, got {self.qubits}")
+    if self.kind in TWO_QUBIT_KINDS and len(self.qubits) != 2:
+      raise ValueError(f"{self.kind!r} takes 2 qubits, got {self.qubits}")
+    if self.kind == GPHASE and self.qubits:
+      raise ValueError(f"gphase takes no qubits, got {self.qubits}")
     if self.kind == PROT:
       if len(self.paulis) != len(self.qubits):
         raise ValueError(
@@ -104,6 +114,22 @@ class Circuit:
   num_qubits: int
   gates: Tuple[Gate, ...] = ()
   symbol_names: Tuple[str, ...] = ()
+
+  def __post_init__(self):
+    # Range-check on every construction path (builder, append, inverse,
+    # from_dict/from_json of hand-written data): an out-of-range qubit or
+    # slot would index simulator state / packed native arrays out of
+    # bounds (heap corruption in the C oracle).
+    for g in self.gates:
+      for q in g.qubits:
+        if q >= self.num_qubits:
+          raise ValueError(
+              f"gate {g.kind!r} touches qubit {q} but the circuit has "
+              f"{self.num_qubits} qubits")
+      if g.slot >= len(self.symbol_names):
+        raise ValueError(
+            f"gate {g.kind!r} references symbol slot {g.slot} but only "
+            f"{len(self.symbol_names)} symbols exist")
 
   @property
   def num_symbols(self) -> int:

@@ -46,12 +46,25 @@ def _load():
   try:
     if (not os.path.exists(lib_path) or
         os.path.getmtime(lib_path) < os.path.getmtime(src)):
-      subprocess.run(
-          ["g++", "-O2", "-shared", "-fPIC", "-o", lib_path, src],
-          check=True, capture_output=True, text=True, timeout=240)
+      # Compile to a process-unique temp name and os.replace (atomic on
+      # POSIX): concurrent builders (pytest-xdist workers, the bench
+      # watchdog's subprocess children) must never CDLL a half-written .so.
+      tmp_path = f"{lib_path}.{os.getpid()}.tmp"
+      try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp_path, src],
+            check=True, capture_output=True, text=True, timeout=240)
+        os.replace(tmp_path, lib_path)
+      finally:
+        if os.path.exists(tmp_path):
+          os.unlink(tmp_path)
     lib = ctypes.CDLL(lib_path)
     lib.simulate_circuit.restype = ctypes.c_int
     _LIB = lib
+  except subprocess.CalledProcessError as e:
+    # Keep the compiler's diagnostics: the bare CalledProcessError repr
+    # hides g++'s stderr, making every skipped oracle test unactionable.
+    _BUILD_ERROR = RuntimeError(f"{e}\n--- g++ stderr ---\n{e.stderr}")
   except Exception as e:  # noqa: BLE001
     _BUILD_ERROR = e
   return _LIB
@@ -93,10 +106,8 @@ def simulate(circuit: ir.Circuit, symbol_values,
     angles[g] = angle
     prot_offsets[g + 1] = prot_offsets[g]
     if gate.kind == ir.PROT:
-      if len(gate.paulis) != len(gate.qubits):
-        raise ValueError(
-            f"prot gate {g}: {len(gate.paulis)} pauli codes for "
-            f"{len(gate.qubits)} qubits (packed arrays would desynchronize)")
+      # paulis/qubits alignment + qubit ranges are enforced on every Gate/
+      # Circuit construction path (circuit_ir __post_init__).
       prot_qubits.extend(gate.qubits)
       prot_codes.extend(gate.paulis)
       prot_offsets[g + 1] += len(gate.qubits)
@@ -105,6 +116,12 @@ def simulate(circuit: ir.Circuit, symbol_values,
   init = 0
   if bits is not None:
     bits = np.asarray(bits).reshape(-1)
+    # Validate BEFORE crossing into C: a bad init index is an out-of-bounds
+    # write in simulate_circuit (heap corruption, not an exception).
+    if bits.shape[0] != n:
+      raise ValueError(f"bits has {bits.shape[0]} entries for {n} qubits")
+    if np.any((bits != 0) & (bits != 1)):
+      raise ValueError(f"bits must be 0/1: {bits}")
     for b in bits:
       init = (init << 1) | int(b)
   dim = 2**n

@@ -30,11 +30,11 @@ def shift_plan(circuit: ir.Circuit) -> Tuple[np.ndarray, np.ndarray, np.ndarray]
   Returns:
     offsets: [2*P, num_gates] float32; row r is the angle-offset vector for
       shifted evaluation r (P = number of parameterized gate occurrences).
-    weights: [2*P] float32; dE/d(param of occurrence) = sum_r weights[r]*E_r,
-      folded with the occurrence's chain-rule factor already included except
-      for the symbol coefficient.
-    slots: [2*P] int32; symbol slot each shifted evaluation contributes to,
-      with the gate coefficient folded into `weights`.
+    weights: [2*P] float32; dE/d(symbol) = sum_r weights[r]*E_r -- the FULL
+      chain-rule factor is folded in, including the gate coefficient
+      (weights[r] = sign * scale/2 * gate.coeff).  Callers must NOT
+      multiply by gate.coeff again.
+    slots: [2*P] int32; symbol slot each shifted evaluation contributes to.
   """
   param_gates = circuit.parameterized_gate_indices()
   num_gates = circuit.num_gates
@@ -81,7 +81,30 @@ def shift_gradient(circuit: ir.Circuit,
   offsets, weights, slots = shift_plan(circuit)
   if offsets.shape[0] == 0:
     return jnp.zeros([num_symbols], jnp.float32)
-  evals = jax.vmap(eval_fn)(jnp.asarray(offsets))  # [2P]
+  # Bound concurrent state memory: an unchunked vmap holds all 2P shifted
+  # simulations live at once (20 x 2GB statevectors for 10 parameterized
+  # gates at 28 qubits).  Chunk like the adjoint batch (~128MB of live
+  # chunk state by default; QHBM_SHIFT_CHUNK overrides).
+  import os
+  env = os.environ.get("QHBM_SHIFT_CHUNK")
+  if env:
+    chunk = max(1, int(env))
+  else:
+    state_bytes = 8 * 2**circuit.num_qubits
+    chunk = max(1, min(offsets.shape[0], (128 << 20) // state_bytes))
+  evals = jax.lax.map(jax.vmap(eval_fn), _pad_rows(offsets, chunk))
+  evals = evals.reshape(-1)[:offsets.shape[0]]  # [2P]
   contribs = evals * jnp.asarray(weights)
   return jnp.zeros([num_symbols], jnp.float32).at[jnp.asarray(slots)].add(
       contribs)
+
+
+def _pad_rows(offsets: np.ndarray, chunk: int) -> jnp.ndarray:
+  """[2P, G] -> [ceil(2P/chunk), chunk, G], zero-padded (a zero offset row
+  is a valid evaluation whose result is discarded by the caller's slice)."""
+  total = offsets.shape[0]
+  pad = (-total) % chunk
+  if pad:
+    offsets = np.concatenate(
+        [offsets, np.zeros([pad, offsets.shape[1]], offsets.dtype)], axis=0)
+  return jnp.asarray(offsets).reshape(-1, chunk, offsets.shape[1])
