@@ -136,6 +136,35 @@ def test_simulate_from_bits(n):
         np.asarray(states[i]).reshape(-1), u[:, i], atol=1e-5)
 
 
+def test_ir_bounds_validated_on_every_construction_path():
+  """Out-of-range qubits/slots/arity must fail at construction: past the IR
+  they index simulator state and packed native arrays out of bounds (the C
+  oracle heap-corrupts, not raises)."""
+  with pytest.raises(ValueError, match="has 2 qubits"):
+    ir.Circuit.from_dict({"num_qubits": 2, "symbol_names": [],
+                          "gates": [{"kind": ir.XP, "qubits": [2]}]})
+  with pytest.raises(ValueError, match="symbol slot"):
+    ir.Circuit(1, (ir.Gate(ir.RX, (0,), slot=3),), ("a",))
+  with pytest.raises(ValueError, match="takes 1 qubit"):
+    ir.Gate(ir.RX, (0, 1))
+  with pytest.raises(ValueError, match="takes 2 qubits"):
+    ir.Gate(ir.CZP, (0,))
+  with pytest.raises(ValueError, match="non-negative"):
+    ir.Gate(ir.RX, (-1,))
+
+
+def test_oracle_rejects_malformed_bits():
+  if not __import__("qhbmlib_tpu.ops.native_oracle",
+                    fromlist=["available"]).available():
+    pytest.skip("native oracle unavailable")
+  from qhbmlib_tpu.ops import native_oracle
+  circuit = ir.CircuitBuilder(2).rx(0, "a").build()
+  with pytest.raises(ValueError, match="entries for 2 qubits"):
+    native_oracle.simulate(circuit, np.asarray([0.3]), bits=[1, 1, 1])
+  with pytest.raises(ValueError, match="0/1"):
+    native_oracle.simulate(circuit, np.asarray([0.3]), bits=[2, 0])
+
+
 def test_circuit_json_roundtrip():
   """IR persistence (the reference serializes circuits via cirq protos,
   reference models/circuit.py:63): to_json/from_json is an exact inverse,
