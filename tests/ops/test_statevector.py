@@ -319,6 +319,23 @@ class TestGradients:
     np.testing.assert_allclose(np.asarray(g_shift), np.asarray(g_auto),
                                atol=1e-4)
 
+  def test_parameter_shift_chunked_matches_unchunked(self, monkeypatch):
+    """QHBM_SHIFT_CHUNK bounds concurrent shifted simulations; a chunk that
+    does not divide 2P exercises the zero-offset padding path."""
+    circuit, values, op = self._setup(seed=8)
+    init = sv.zero_state(circuit.num_qubits)
+
+    def eval_fn(offsets):
+      state = sv.apply_circuit(circuit, values, init, angle_offsets=offsets)
+      return sv.expectation(state, op)
+
+    monkeypatch.setenv("QHBM_SHIFT_CHUNK", "3")
+    g_chunked = shift.shift_gradient(circuit, eval_fn, circuit.num_symbols)
+    monkeypatch.delenv("QHBM_SHIFT_CHUNK")
+    g_full = shift.shift_gradient(circuit, eval_fn, circuit.num_symbols)
+    np.testing.assert_allclose(np.asarray(g_chunked), np.asarray(g_full),
+                               atol=1e-6)
+
   def test_batched_expectations_grad(self):
     circuit, values, op = self._setup(n=2, depth=1, seed=9)
     shard0 = paulis.pauli_string(2, {0: "Z"})
