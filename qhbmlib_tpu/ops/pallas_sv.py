@@ -524,23 +524,24 @@ def apply_circuit_pallas_batched(circuit: ir.Circuit,
 # before streaming back.  Row bits beyond k1+k2 (only n > 21) still take
 # the standard block matmul afterwards: 2 HBM passes per segment vs 4.
 #
-# MEASURED (v5e, benchmarks/fused1q_bench.py, 24q/4L, min over 3):
-#   apply  HIGH precision: plain 28.80 ms  fused 29.23 ms
-#   apply  bf16  (default): plain 19.67 ms  fused 19.43 ms
-#   grad   HIGH precision: plain 73.64 ms  fused 73.26 ms
-# i.e. a WASH at every operating point -- the XLA path is NOT HBM-pass-bound
-# at these shapes (XLA already overlaps the block matmuls' reads/writes; see
-# benchmarks/segment_probe.py for the per-segment breakdown).  The kernel is
-# therefore kept OPT-IN (QHBM_FUSED_1Q=1) as an experiment, not wired as a
-# default production path.
-#
-# CAVEAT (found in review, 2026-08-18): the measuring script had a trace-time
-# flag bug -- QHBM_FUSED_1Q was restored to "0" before jax.jit's lazy first
-# call, so BOTH variants may have traced the plain path and the numbers
-# above could be plain-vs-plain.  The script is fixed; the A/B must be
-# RE-MEASURED on hardware before this WASH conclusion is trusted.  The
-# independent segment_probe.py evidence (hand-tiled Pallas streaming loses
-# 25% to XLA elementwise at these sizes) still supports the opt-in default.
+# RETIRED (re-measured on v5e, 2026-08-19).  The earlier "WASH" numbers
+# (plain 19.67 vs fused 19.43 ms at 24q/4L bf16) came from a measuring
+# script with a trace-time flag bug and were plain-vs-plain.  With the
+# fixed script the fused variant does not even COMPILE at production block
+# sizes: the minimum window tile is [2^k1, 2^k2, c] = [128, 128, 128] = 8MB
+# (both row blocks are contracted, only the trailing axis streams), and
+# Mosaic's resident footprint -- four double-buffered in/out windows plus
+# the in-kernel stage temporaries and relayout copies -- measured
+# "Used 168.04M of 128.00M vmem" (XLA:TPU compile permanent error).
+# statevector.apply_majors_and_minor now carries a matching ~21x-tile VMEM
+# admission and falls back to the plain block matmuls above ~12 fused row
+# bits, so QHBM_FUSED_1Q=1 is inert at big-state shapes by construction.
+# At 16q/4L -- a shape that DOES fit -- the fixed A/B ran on hardware and
+# the fused kernel LOSES 12% (plain 2.355 ms vs fused 2.628 ms, min over
+# 3), consistent with the segment_probe.py evidence (hand-tiled Pallas
+# streaming loses 25% to XLA elementwise): XLA is not HBM-pass-bound
+# here.  Kept for small-block shapes and as a measured negative result;
+# do not wire as a production path.
 
 def _fused_1q_kernel(k1, k2, c, stages):
   n1, n2 = 2**k1, 2**k2

@@ -913,6 +913,20 @@ def apply_majors_and_minor(state: jnp.ndarray, major_by_qubit,
   if sum(x is not None for x in (m1, m2, mt)) < 2:
     return plain(state)  # nothing to fuse
 
+  # Mosaic VMEM admission (measured on v5e, 2026-08-19): the kernel's
+  # resident footprint is ~21x the window tile -- four double-buffered
+  # in/out windows (2 buffering levels each) plus the in-kernel stage
+  # temporaries and reshape/einsum relayout copies.  At the production
+  # 7-bit row blocks the minimum tile is [128, 128, c=128] = 8MB and the
+  # TPU compile CRASHES with "Used 168.04M of 128.00M vmem", so admission
+  # must reject exactly what the compiler will (the transparent fallback
+  # would otherwise become a compile error).  This keeps the fused path
+  # usable only for sub-production block sizes (<= ~12 fused row bits).
+  from qhbmlib_tpu.ops import pallas_sv
+  tile_bytes = (2**(k1 + k2)) * c * 4
+  if 21 * tile_bytes > pallas_sv._PHYS_VMEM_BYTES:
+    return plain(state)
+
   def fused(st):
     import functools as _ft
     from qhbmlib_tpu.ops import pallas_sv
