@@ -100,6 +100,15 @@ def main():
       "TPU topology string (e.g. '2x2', '4x4'); jobs get --distributed and "
       "a ('data','state') mesh plan inferred from the chip count (parity "
       "with reference launch.py:126-139,202-214).")
+  cloud_flag = flags.DEFINE_bool(
+      "emit_cloud_specs", False,
+      "Instead of running locally, write per-sweep-point cloud TPU job "
+      "specs (gcloud tpu-vm commands + GKE JobSet manifests) to "
+      "output_dir (the reference's XManager/Vertex job fan-out, "
+      "reference launch.py:162-241, as dry-run artifacts).")
+  generation_flag = flags.DEFINE_string(
+      "tpu_generation", "v5e", "TPU generation for cloud specs "
+      "(v5e/v5p/v4; decides the accelerator-type string).")
 
   def run(argv):
     del argv
@@ -112,6 +121,16 @@ def main():
       k, v = f.split("=", 1)
       sweep = [p for p in sweep if str(p.get(f"config.{k}", "")) == v]
     os.makedirs(output_flag.value, exist_ok=True)
+    if cloud_flag.value:
+      from baselines import cloud
+      if not topology_flag.value:
+        raise ValueError("--emit_cloud_specs requires --tpu_topology")
+      specs = cloud.build_cloud_jobs(
+          config_path_flag.value, output_flag.value, sweep, seed_flag.value,
+          topology=topology_flag.value, generation=generation_flag.value)
+      path = cloud.write_specs(specs, output_flag.value)
+      print(f"{len(specs)} cloud job specs -> {path}")
+      return
     jobs = build_jobs(config_path_flag.value, output_flag.value, sweep,
                       seed_flag.value, tpu_topology=topology_flag.value)
     manifest = [{"dir": d, "cmd": c} for d, c in jobs]

@@ -82,16 +82,18 @@ def _qmhl_step(data, qhbm_obj, optimizer):
   return step, params, optimizer.init(params)
 
 
-def build_rung(name: str, smoke: bool = False, qubits: int = None):
+def build_rung(name: str, smoke: bool = False, qubits: int = None,
+               max_unique: int = None):
   """Returns (step_fn, params, opt_state, initial_ebm_state, meta).
 
   step_fn(params, opt_state, key, ebm_state) ->
       (loss, params, opt_state, ebm_state)
 
-  `qubits` overrides the rung's qubit count (e.g. r5 at its spec size of 28
-  qubits needs ~6-8 live 2GB statevectors -- beyond a 16GB v5e chip; run it
-  at 26 qubits single-chip, or at 28 on hardware with more HBM / an
-  amplitude-sharded mesh).
+  `qubits` overrides the rung's qubit count.  `max_unique` overrides the
+  rung's unique-sample cap (r4/r5): the memory-diet knob that, together
+  with QHBM_BATCH_CHUNK=1 (adjoint evaluations one at a time), lets the
+  spec-size 28-qubit r5 fit a single 16GB v5e chip -- each live
+  statevector is 2GB there, so the cap directly bounds peak HBM.
   """
   import optax
   opt = optax.adam(1e-2)
@@ -167,7 +169,7 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None):
                               devices=devices[:state])
     energy = models.BernoulliEnergy(list(range(n)))
     e_inf = ebm.BernoulliEnergyInference(energy, 100, initial_seed=4,
-                                         max_unique_samples=8)
+                                         max_unique_samples=max_unique or 8)
     circuit = models.DirectQuantumCircuit(
         circuit_utils.hardware_efficient_ansatz(n, 2))
     q_inf = parallel.ShardedQuantumInference(circuit, mesh, data_axis=None)
@@ -200,20 +202,20 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None):
                                 devices=devices[:state])
       e_inf = parallel.ShardedGibbsWithGradientsInference(
           energy, 32, burnin, mesh, chains_axis=mesh_lib.STATE_AXIS,
-          num_chains=8, max_unique_samples=4, initial_seed=5)
+          num_chains=8, max_unique_samples=max_unique or 4, initial_seed=5)
       q_inf = parallel.ShardedQuantumInference(circuit, mesh, data_axis=None)
       d_q_inf = parallel.ShardedQuantumInference(d_circuit, mesh,
                                                  data_axis=None)
     else:
       e_inf = ebm.GibbsWithGradientsInference(
           energy, 32, num_burnin_samples=burnin,
-          num_chains=8, max_unique_samples=4, initial_seed=5)
+          num_chains=8, max_unique_samples=max_unique or 4, initial_seed=5)
       q_inf = qnn.AnalyticQuantumInference(circuit)
       d_q_inf = qnn.AnalyticQuantumInference(d_circuit)
     h = qhbm.QHBM(e_inf, q_inf)
     # Data: a fixed random QHBM at the same size (sampling-based source).
     d_e_inf = ebm.BernoulliEnergyInference(d_energy, 32, initial_seed=6,
-                                           max_unique_samples=4)
+                                           max_unique_samples=max_unique or 4)
     data = data_module.QHBMData(qhbm.QHBM(d_e_inf, d_q_inf))
     step, params, opt_state = _qmhl_step(data, h, opt)
     ebm_state = (None, e_inf.chain_state)

@@ -55,9 +55,10 @@ elif (any(p in (jax.config.jax_platforms or "") for p in ("axon", "tpu"))
     pass
 
 
-def run_rung(name: str, steps: int, smoke: bool, qubits=None) -> dict:
+def run_rung(name: str, steps: int, smoke: bool, qubits=None,
+             max_unique=None) -> dict:
   step_fn, params, opt_state, ebm_state, meta = ladder.build_rung(
-      name, smoke=smoke, qubits=qubits)
+      name, smoke=smoke, qubits=qubits, max_unique=max_unique)
   key = jax.random.PRNGKey(0)
   t0 = time.perf_counter()
   # Two warmup calls: the first step may change the ebm_state pytree
@@ -78,13 +79,16 @@ def run_rung(name: str, steps: int, smoke: bool, qubits=None) -> dict:
                                                  ebm_state)
   loss.block_until_ready()
   dt = time.perf_counter() - t0
-  return {
+  result = {
       "rung": name,
       **meta,
       "steps_per_sec": round(steps / dt, 4),
       "compile_s": round(compile_s, 1),
       "final_loss": float(loss),
   }
+  if max_unique is not None:
+    result["max_unique"] = max_unique  # diet runs are self-describing
+  return result
 
 
 def main():
@@ -94,13 +98,17 @@ def main():
   parser.add_argument("--smoke", action="store_true")
   parser.add_argument("--qubits", type=int, default=None,
                       help="override the rung's qubit count")
+  parser.add_argument("--max-unique", type=int, default=None,
+                      help="override the rung's unique-sample cap "
+                           "(memory diet for spec-size single-chip runs)")
   args = parser.parse_args()
 
   rungs = [args.rung] if args.rung else list(ladder.RUNGS)
   failed = 0
   for name in rungs:
     try:
-      result = run_rung(name, args.steps, args.smoke, args.qubits)
+      result = run_rung(name, args.steps, args.smoke, args.qubits,
+                        args.max_unique)
     except Exception as e:  # noqa: BLE001
       result = {"rung": name, "error": f"{type(e).__name__}: {e}"}
       failed += 1

@@ -252,8 +252,13 @@ class AnalyticEnergyInference(EnergyInference):
     n = input_energy.num_bits
     if n > 22:
       raise ValueError(
-          f"AnalyticEnergyInference enumerates 2^n bitstrings; n={n} is too "
-          "large. Use BernoulliEnergyInference or GibbsWithGradientsInference.")
+          f"AnalyticEnergyInference enumerates all 2^n bitstrings; n={n} "
+          "would materialize a >16M-row enumeration on every inference call. "
+          "For large n use BernoulliEnergyInference (factorized energies) or "
+          "GibbsWithGradientsInference (MCMC); if you specifically need the "
+          "analytic estimator semantics at smaller n, the `exact=True` and "
+          "`max_unique_samples=` options bound its cost without changing the "
+          "estimator.")
     self._all_bitstrings = jnp.asarray(utils.all_bitstrings(n))
     self.exact = exact
     if max_unique_samples is None and n > 10:

@@ -22,18 +22,18 @@ from qhbmlib_tpu import nn
 
 
 def check_bits(bits: List[int]) -> List[int]:
-  """Confirms the input is a valid bit index list."""
+  """Validates a list of bit indices (duplicates would alias energy terms)."""
   if len(set(bits)) != len(bits):
-    raise ValueError("All entries of `bits` must be unique.")
+    raise ValueError(f"bit index list contains duplicates: {bits}")
   return bits
 
 
 def check_order(order: int) -> int:
-  """Confirms the input is a valid parity order."""
+  """Validates a parity interaction order (must be a positive int)."""
   if not isinstance(order, int):
-    raise TypeError("`order` must be an integer.")
+    raise TypeError(f"parity order must be an int, got {type(order).__name__}")
   if order <= 0:
-    raise ValueError("`order` must be greater than zero.")
+    raise ValueError(f"parity order must be positive, got {order}")
   return order
 
 

@@ -534,8 +534,9 @@ def apply_circuit_pallas_batched(circuit: ir.Circuit,
 # the in-kernel stage temporaries and relayout copies -- measured
 # "Used 168.04M of 128.00M vmem" (XLA:TPU compile permanent error).
 # statevector.apply_majors_and_minor now carries a matching ~21x-tile VMEM
-# admission and falls back to the plain block matmuls above ~12 fused row
-# bits, so QHBM_FUSED_1Q=1 is inert at big-state shapes by construction.
+# admission (fused_1q_fits below; boundary = 13 fused row bits at c=128)
+# and falls back to the plain block matmuls above it, so QHBM_FUSED_1Q=1
+# is inert at big-state shapes by construction.
 # At 16q/4L -- a shape that DOES fit -- the fixed A/B ran on hardware and
 # the fused kernel LOSES 12% (plain 2.355 ms vs fused 2.628 ms, min over
 # 3), consistent with the segment_probe.py evidence (hand-tiled Pallas
@@ -583,6 +584,27 @@ def _fused_1q_kernel(k1, k2, c, stages):
     o_im_ref[:] = x_im
 
   return kernel
+
+
+def fused_1q_fits(k1: int, k2: int, c: int) -> bool:
+  """VMEM admission for fused_blocks_minor_apply (kept next to the kernel
+  whose allocation behavior it models, so a kernel change updates both).
+
+  Measured on v5e (2026-08-19): resident footprint is ~21x the window
+  tile — four double-buffered in/out windows (2 buffering levels each)
+  plus the in-kernel stage temporaries and reshape/einsum relayout
+  copies.  At k1=k2=7, c=128 (tile 8MB) the compile CRASHES with "Used
+  168.04M of 128.00M vmem", so the 21x multiplier is calibrated to that
+  point.  The formula boundary is 21*tile <= 128M, i.e. up to 13 fused
+  row bits at c=128 (21*4MiB = 84MiB); the 13-bit shape itself is
+  hardware-verified (see docs/design.md §7 fused-1q admission note).
+  Like batched_supported, a user-tightened QHBM_PALLAS_VMEM_LIMIT shifts
+  the boundary down by the same delta so admission never accepts a shape
+  the tighter scoped compile cap would reject."""
+  tile_bytes = (2**(k1 + k2)) * c * 4
+  boundary = _PHYS_VMEM_BYTES + min(0, _vmem_budget_bytes()
+                                    - _DEFAULT_VMEM_LIMIT)
+  return 21 * tile_bytes <= boundary
 
 
 def fused_blocks_minor_apply(state: jnp.ndarray,

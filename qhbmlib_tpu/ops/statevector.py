@@ -913,18 +913,14 @@ def apply_majors_and_minor(state: jnp.ndarray, major_by_qubit,
   if sum(x is not None for x in (m1, m2, mt)) < 2:
     return plain(state)  # nothing to fuse
 
-  # Mosaic VMEM admission (measured on v5e, 2026-08-19): the kernel's
-  # resident footprint is ~21x the window tile -- four double-buffered
-  # in/out windows (2 buffering levels each) plus the in-kernel stage
-  # temporaries and reshape/einsum relayout copies.  At the production
-  # 7-bit row blocks the minimum tile is [128, 128, c=128] = 8MB and the
-  # TPU compile CRASHES with "Used 168.04M of 128.00M vmem", so admission
-  # must reject exactly what the compiler will (the transparent fallback
-  # would otherwise become a compile error).  This keeps the fused path
-  # usable only for sub-production block sizes (<= ~12 fused row bits).
+  # Mosaic VMEM admission lives next to the kernel (pallas_sv.fused_1q_fits):
+  # admission must reject exactly what the compiler will, including a
+  # user-tightened QHBM_PALLAS_VMEM_LIMIT scoped cap (otherwise the
+  # transparent fallback becomes a Mosaic compile crash).  The formula
+  # boundary is <= 13 fused row bits at c=128; production 7+7-bit blocks
+  # (tile 8MB, footprint 168M) are rejected.
   from qhbmlib_tpu.ops import pallas_sv
-  tile_bytes = (2**(k1 + k2)) * c * 4
-  if 21 * tile_bytes > pallas_sv._PHYS_VMEM_BYTES:
+  if not pallas_sv.fused_1q_fits(k1, k2, c):
     return plain(state)
 
   def fused(st):
