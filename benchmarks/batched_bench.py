@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks import _cache
+
+_cache.enable_if_accelerator()
+
 from qhbmlib_tpu.models import circuit_utils
 from qhbmlib_tpu.ops import adjoint, paulis
 

@@ -9,50 +9,18 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
 import jax
 
-from benchmarks import ladder
+from benchmarks import _cache, ladder
 
-
-def _accel_plugin_installed() -> bool:
-  """True if a PJRT accelerator plugin is installed (checked WITHOUT
-  initializing any backend -- `jax.devices()` would hang on a downed
-  tunnel)."""
-  try:
-    import importlib.metadata as md
-    if list(md.entry_points(group="jax_plugins")):
-      return True
-    import jax_plugins  # namespace package populated by installed plugins
-    return bool(list(getattr(jax_plugins, "__path__", [])))
-  except Exception:
-    return False
-
-
-if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-  # The env var alone is IGNORED when an accelerator plugin is present
-  # (see .claude/skills/verify/SKILL.md) -- a "CPU" run would initialize
-  # the tunneled backend and hang if the tunnel is down.  Force it.
-  jax.config.update("jax_platforms", "cpu")
-elif (any(p in (jax.config.jax_platforms or "") for p in ("axon", "tpu"))
-      or _accel_plugin_installed()):
-  # Persistent compilation cache: shields re-runs from compile-service
-  # latency on the tunneled backend (ladder rungs compile for 30s-4min).
-  # Gated on an accelerator plugin actually being configured -- NOT just on
-  # the env var -- because on a CPU-only host the cache would store XLA:CPU
-  # AOT entries, which are machine-feature-pinned and can SIGILL when the
-  # cache dir is reused from a host with different CPU features.
-  try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_compile_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-  except Exception:
-    pass
+# Persistent compilation cache: shields re-runs from compile-service
+# latency on the tunneled backend (ladder rungs compile for 30s-8min);
+# forces the CPU platform when JAX_PLATFORMS=cpu so a downed tunnel can't
+# hang backend init.  See benchmarks/_cache.py for the gating rationale.
+_cache.enable_if_accelerator()
 
 
 def run_rung(name: str, steps: int, smoke: bool, qubits=None,
