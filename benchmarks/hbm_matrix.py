@@ -40,7 +40,16 @@ _cache.enable_if_accelerator()
 
 def _chain(step, make_x, iters):
   """K dependent iterations of `step` inside one jit; `make_x` builds the
-  initial array(s) INSIDE the jit so HBM residency matches the engine."""
+  initial array(s) INSIDE the jit so HBM residency matches the engine.
+
+  DCE-proofing (round-3 lesson): the first probe version observed only
+  element [0] of the carried array each iteration, and every shape from
+  4KB to 268MB measured the SAME ~0.78 ms/iter at iters=32 -- XLA had
+  sliced the observation out of the stream (or the cost was all
+  per-call dispatch; both defeat the probe).  Each iteration now feeds a
+  FULL reduction of the carried array back into the carry, so the whole
+  plane must be materialized every step and no algebraic folding across
+  iterations is possible (the step is data-dependent via p)."""
 
   @jax.jit
   def run(v):
@@ -50,8 +59,10 @@ def _chain(step, make_x, iters):
       x, v = carry
       x = step(v, x)
       leaves = jax.tree_util.tree_leaves(x)
-      p = jnp.real(leaves[0].reshape(-1)[0]).astype(jnp.float32)
-      return (x, v + 1e-6 * p), p
+      # Full read of the produced array: sums feed v, so neither the
+      # write nor the read can be eliminated or narrowed.
+      p = sum(jnp.sum(jnp.real(l)).astype(jnp.float32) for l in leaves)
+      return (x, v + 1e-9 * p), p
 
     (x, _), ps = jax.lax.scan(body, (x, v), None, length=iters)
     tail = jax.tree_util.tree_leaves(x)[0].reshape(-1)[1]

@@ -24,7 +24,7 @@ import sys
 import time
 
 
-def child(n_qubits, shots, iters):
+def child(n_qubits, shots, iters, rows):
   import jax
 
   jax.config.update("jax_platforms", "cpu")
@@ -43,7 +43,7 @@ def child(n_qubits, shots, iters):
                                                   initial_seed=3)
   target = paulis.tfim_1d(n_qubits)
   bits = jnp.asarray(
-      np.random.RandomState(0).randint(0, 2, (4, n_qubits)), jnp.int8)
+      np.random.RandomState(0).randint(0, 2, (rows, n_qubits)), jnp.int8)
   key = jax.random.PRNGKey(1)
 
   def loss(phi):
@@ -73,10 +73,11 @@ def main():
   p.add_argument("--qubits", type=int, default=10)
   p.add_argument("--shots", type=int, default=200)
   p.add_argument("--iters", type=int, default=4)
+  p.add_argument("--rows", type=int, default=4)
   p.add_argument("--child", action="store_true")
   args = p.parse_args()
   if args.child:
-    child(args.qubits, args.shots, args.iters)
+    child(args.qubits, args.shots, args.iters, args.rows)
     return
 
   rows = []
@@ -86,7 +87,7 @@ def main():
     out = subprocess.run(
         [sys.executable, "-m", "benchmarks.sampled_scaling", "--child",
          f"--qubits={args.qubits}", f"--shots={args.shots}",
-         f"--iters={args.iters}"],
+         f"--iters={args.iters}", f"--rows={args.rows}"],
         env=env, capture_output=True, text=True, timeout=3600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if out.returncode != 0:
@@ -97,7 +98,7 @@ def main():
     print(f"devices={row['devices']}: {row['ms_per_step']} ms/step "
           f"(compile {row['compile_s']}s)", file=sys.stderr)
   print(json.dumps({"qubits": args.qubits, "shots": args.shots,
-                    "rows": rows}))
+                    "batch_rows": args.rows, "rows": rows}))
 
 
 if __name__ == "__main__":
