@@ -42,12 +42,14 @@ def _chain(step, n, iters, planar=False):
     state = sv.basis_state(n, jnp.zeros([n], jnp.int8))
     if planar:
       state = (jnp.real(state), jnp.imag(state))
+      if planar == "bf16":
+        state = (state[0].astype(jnp.bfloat16), state[1].astype(jnp.bfloat16))
 
     def body(carry, _):
       state, vals = carry
       state = step(vals, state)
       first = state[0] if planar else state
-      probe = jnp.real(first.reshape(-1)[0])
+      probe = jnp.real(first.reshape(-1)[0]).astype(jnp.float32)
       return (state, vals + 1e-6 * probe), probe
 
     (state, _), probes = jax.lax.scan(body, (state, values), None,
@@ -167,6 +169,89 @@ def main():
     s = jnp.sin(total)
     return re * c - im * s, re * s + im * c
 
+  # Full-1q-SEGMENT variants (round 3): the planar-vs-complex decision
+  # cannot be made from isolated primitives -- XLA fuses across a
+  # segment's block chain (seg1q measures 3.3 ms where its isolated
+  # primitives sum to 7).  Both variants below run the segment's exact
+  # pass structure (every row block from sv._row_blocks + one minor
+  # matmul) with angle-parameterized unitaries, complex vs planar.
+  blocks = sv._row_blocks(n - 7)
+  blk_np = {}
+  for _, k in blocks:
+    if k not in blk_np:
+      blk_np[k] = np.linalg.qr(rng.randn(2**k, 2**k) +
+                               1j * rng.randn(2**k, 2**k))[0]
+
+  def seg_comp(vals, state):
+    ph = jnp.exp(1j * vals[0].astype(sv.COMPLEX_DTYPE))
+    for start, k in blocks:
+      mat = jnp.asarray(blk_np[k], sv.COMPLEX_DTYPE) * ph
+      state = sv.apply_row_block(mat, start, k, state)
+    return jnp.matmul(state, (_u128(vals)).T, precision=prec)
+
+  def _rot_np(mat_np, vals):
+    c = jnp.cos(vals[0])
+    s = jnp.sin(vals[0])
+    mre = jnp.asarray(mat_np.real, jnp.float32)
+    mim = jnp.asarray(mat_np.imag, jnp.float32)
+    return mre * c - mim * s, mre * s + mim * c
+
+  def seg_pl(vals, state):
+    re, im = state
+    rr, cc = re.shape
+
+    def block(re, im, mre, mim, start, k):
+      vr = re.reshape(2**start, 2**k, -1)
+      vi = im.reshape(2**start, 2**k, -1)
+      prog = "MN,aNb->aMb"
+      o_re = (jnp.einsum(prog, mre, vr, precision=prec) -
+              jnp.einsum(prog, mim, vi, precision=prec))
+      o_im = (jnp.einsum(prog, mre, vi, precision=prec) +
+              jnp.einsum(prog, mim, vr, precision=prec))
+      return o_re.reshape(rr, cc), o_im.reshape(rr, cc)
+
+    for start, k in blocks:
+      mre, mim = _rot_np(blk_np[k], vals)
+      re, im = block(re, im, mre, mim, start, k)
+    m_re, m_im = _rot(vals)
+    o_re = (jnp.matmul(re, m_re.T, precision=prec) -
+            jnp.matmul(im, m_im.T, precision=prec))
+    o_im = (jnp.matmul(re, m_im.T, precision=prec) +
+            jnp.matmul(im, m_re.T, precision=prec))
+    return o_re, o_im
+
+  def seg_pl_bf16(vals, state):
+    # bf16-STORAGE planar planes: half the streamed bytes per pass, fed
+    # to the MXU natively (f32 accumulation via preferred_element_type,
+    # outputs cast back to bf16 storage).  The opt-in "sampled-training"
+    # engine candidate from design.md section 6.
+    re, im = state
+    rr, cc = re.shape
+
+    def block(re, im, mre, mim, start, k):
+      vr = re.reshape(2**start, 2**k, -1)
+      vi = im.reshape(2**start, 2**k, -1)
+      prog = "MN,aNb->aMb"
+      kw = dict(preferred_element_type=jnp.float32)
+      o_re = (jnp.einsum(prog, mre, vr, **kw) -
+              jnp.einsum(prog, mim, vi, **kw))
+      o_im = (jnp.einsum(prog, mre, vi, **kw) +
+              jnp.einsum(prog, mim, vr, **kw))
+      return (o_re.reshape(rr, cc).astype(jnp.bfloat16),
+              o_im.reshape(rr, cc).astype(jnp.bfloat16))
+
+    for start, k in blocks:
+      mre, mim = _rot_np(blk_np[k], vals)
+      re, im = block(re, im, mre.astype(jnp.bfloat16),
+                     mim.astype(jnp.bfloat16), start, k)
+    m_re, m_im = _rot(vals)
+    m_re = m_re.astype(jnp.bfloat16)
+    m_im = m_im.astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32)
+    o_re = jnp.matmul(re, m_re.T, **kw) - jnp.matmul(im, m_im.T, **kw)
+    o_im = jnp.matmul(re, m_im.T, **kw) + jnp.matmul(im, m_re.T, **kw)
+    return o_re.astype(jnp.bfloat16), o_im.astype(jnp.bfloat16)
+
   vals1 = jnp.asarray([0.3], jnp.float32)
   valsd = jnp.asarray(
       np.random.RandomState(2).uniform(-1, 1, diag.num_symbols), jnp.float32)
@@ -178,6 +263,9 @@ def main():
       ("block7_pl", block7_pl, vals1, True),
       ("minor_pl", minor_pl, vals1, True),
       ("phase_pl", phase_pl, valsd, True),
+      ("seg_comp", seg_comp, vals1, False),
+      ("seg_pl", seg_pl, vals1, True),
+      ("seg_pl_bf16", seg_pl_bf16, vals1, "bf16"),
   ):
     results[name] = _time(name, _chain(fn, n, args.iters, planar=planar),
                           vals, args.iters)
