@@ -220,6 +220,35 @@ def main():
             jnp.matmul(im, m_re.T, precision=prec))
     return o_re, o_im
 
+  def seg_hybrid(vals, state):
+    # Planar COMPUTE on complex STORAGE: each block extracts (re, im),
+    # does the 4 real dots, and recombines with lax.complex.  If XLA
+    # cancels real(complex(a,b))->a between chained blocks, this matches
+    # seg_pl's speed while keeping the engine's complex state layout --
+    # a local change to apply_row_block instead of a storage refactor.
+    def block(mat_np, start, k, state):
+      rr, cc = state.shape
+      re = jnp.real(state).reshape(2**start, 2**k, -1)
+      im = jnp.imag(state).reshape(2**start, 2**k, -1)
+      mre, mim = _rot_np(mat_np, vals)
+      prog = "MN,aNb->aMb"
+      o_re = (jnp.einsum(prog, mre, re, precision=prec) -
+              jnp.einsum(prog, mim, im, precision=prec))
+      o_im = (jnp.einsum(prog, mre, im, precision=prec) +
+              jnp.einsum(prog, mim, re, precision=prec))
+      return jax.lax.complex(o_re, o_im).reshape(rr, cc)
+
+    for start, k in blocks:
+      state = block(blk_np[k], start, k, state)
+    re = jnp.real(state)
+    im = jnp.imag(state)
+    m_re, m_im = _rot(vals)
+    o_re = (jnp.matmul(re, m_re.T, precision=prec) -
+            jnp.matmul(im, m_im.T, precision=prec))
+    o_im = (jnp.matmul(re, m_im.T, precision=prec) +
+            jnp.matmul(im, m_re.T, precision=prec))
+    return jax.lax.complex(o_re, o_im)
+
   def seg_pl_bf16(vals, state):
     # bf16-STORAGE planar planes: half the streamed bytes per pass, fed
     # to the MXU natively (f32 accumulation via preferred_element_type,
@@ -265,6 +294,7 @@ def main():
       ("phase_pl", phase_pl, valsd, True),
       ("seg_comp", seg_comp, vals1, False),
       ("seg_pl", seg_pl, vals1, True),
+      ("seg_hybrid", seg_hybrid, vals1, False),
       ("seg_pl_bf16", seg_pl_bf16, vals1, "bf16"),
   ):
     results[name] = _time(name, _chain(fn, n, args.iters, planar=planar),

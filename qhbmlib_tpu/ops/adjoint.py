@@ -101,8 +101,7 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
   g_mats = {}
   minor_grads = sorted(q for q in grad_qubits if q >= nr)
   if minor_grads:
-    kmat = jnp.einsum("rc,rd->cd", jnp.conj(lam), a,
-                      precision=sv.matmul_precision())  # [C, C]
+    kmat = sv.cross_gram(lam, a)  # [C, C]
     for q in minor_grads:
       pos = q - nr
       pre, post = 2**pos, 2**(m - pos - 1)

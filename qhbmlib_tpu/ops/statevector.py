@@ -249,7 +249,7 @@ def apply_dense(mat: jnp.ndarray, qubits: Tuple[int, ...],
     # All gate qubits in the minor dimension: one MXU matmul.
     pos = tuple(q - nr for q in qubits)
     big = _embed_minor_mat(mat, pos, m)
-    return jnp.matmul(state, big.T, precision=matmul_precision())
+    return apply_minor_mat(state, big)
 
   if not minors:
     if len(qubits) == 1:
@@ -553,7 +553,7 @@ def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
           _minor_pauli_np(_term_factors(op.codes[t], nr)[1], m))
       term = weight(t) * p_np
       mat = term if mat is None else mat + term
-    out = out + jnp.matmul(state, mat.T, precision=matmul_precision())
+    out = out + apply_minor_mat(state, mat)
 
   for (start, k), ts in block_terms.items():
     if not ts:
@@ -818,6 +818,63 @@ def matmul_precision():
   }[name]
 
 
+def _planar_matmuls_enabled() -> bool:
+  """Planar (re, im) decomposition of state-sized complex contractions.
+
+  At 1-pass bf16 precision ('default') XLA's complex matmul lowering
+  measured 1.70x SLOWER than explicit 4-real-dot planar arithmetic at the
+  full-1q-segment level (complex 4.106 ms vs planar-on-complex-storage
+  2.419 ms at 24q, 256-iteration chained scans; benchmarks/RESULTS.md
+  round-3 correction, benchmarks/segment_probe.py seg_comp/seg_hybrid).
+  XLA cancels the real/imag extract + lax.complex recombine between
+  chained blocks, so the planar win costs nothing at segment boundaries.
+  At 3-pass 'high' precision the complex lowering (3-multiplication
+  algorithm) wins back ~10%, so 'auto' enables planar exactly when the
+  contraction precision is DEFAULT.  QHBM_PLANAR_MATMUL=0/1 forces."""
+  import os
+  v = os.environ.get("QHBM_PLANAR_MATMUL", "auto")
+  if v == "auto":
+    return matmul_precision() == jax.lax.Precision.DEFAULT
+  return v == "1"
+
+
+def apply_minor_mat(state: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
+  """state @ mat.T for the [R, C] state against a [C, C] minor operator,
+  with the planar 4-real-dot decomposition when enabled (see
+  `_planar_matmuls_enabled`)."""
+  prec = matmul_precision()
+  if _planar_matmuls_enabled() and jnp.iscomplexobj(state):
+    if jnp.iscomplexobj(mat):
+      m_re, m_im = jnp.real(mat), jnp.imag(mat)
+    else:
+      m_re, m_im = mat, None
+    s_re, s_im = jnp.real(state), jnp.imag(state)
+    o_re = jnp.matmul(s_re, m_re.T, precision=prec)
+    o_im = jnp.matmul(s_im, m_re.T, precision=prec)
+    if m_im is not None:
+      o_re = o_re - jnp.matmul(s_im, m_im.T, precision=prec)
+      o_im = o_im + jnp.matmul(s_re, m_im.T, precision=prec)
+    return jax.lax.complex(o_re, o_im)
+  return jnp.matmul(state, mat.T, precision=prec)
+
+
+def cross_gram(lam: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+  """[C, C] cross contraction sum_r conj(lam)[r, c] * a[r, d] — the minor
+  transition matrix between two states (lam = a gives the minor Gram all
+  minor-only Pauli expectations read from)."""
+  prec = matmul_precision()
+  prog = "rc,rd->cd"
+  if _planar_matmuls_enabled() and jnp.iscomplexobj(a):
+    l_re, l_im = jnp.real(lam), jnp.imag(lam)
+    a_re, a_im = jnp.real(a), jnp.imag(a)
+    g_re = (jnp.einsum(prog, l_re, a_re, precision=prec) +
+            jnp.einsum(prog, l_im, a_im, precision=prec))
+    g_im = (jnp.einsum(prog, l_re, a_im, precision=prec) -
+            jnp.einsum(prog, l_im, a_re, precision=prec))
+    return jax.lax.complex(g_re, g_im)
+  return jnp.einsum(prog, jnp.conj(lam), a, precision=prec)
+
+
 def _row_blocks(nr: int):
   """Partition of the nr row qubits into <=7-bit contiguous blocks."""
   blocks = []
@@ -848,7 +905,21 @@ def apply_row_block(mat_k: jnp.ndarray, start: int, k: int,
   r, c = state.shape
   pre = 2**start
   v = state.reshape(pre, 2**k, -1)
-  out = jnp.einsum("MN,aNb->aMb", mat_k, v, precision=matmul_precision())
+  prog = "MN,aNb->aMb"
+  prec = matmul_precision()
+  if _planar_matmuls_enabled() and jnp.iscomplexobj(v):
+    if jnp.iscomplexobj(mat_k):
+      m_re, m_im = jnp.real(mat_k), jnp.imag(mat_k)
+    else:
+      m_re, m_im = mat_k, None
+    v_re, v_im = jnp.real(v), jnp.imag(v)
+    o_re = jnp.einsum(prog, m_re, v_re, precision=prec)
+    o_im = jnp.einsum(prog, m_re, v_im, precision=prec)
+    if m_im is not None:
+      o_re = o_re - jnp.einsum(prog, m_im, v_im, precision=prec)
+      o_im = o_im + jnp.einsum(prog, m_im, v_re, precision=prec)
+    return jax.lax.complex(o_re, o_im).reshape(r, c)
+  out = jnp.einsum(prog, mat_k, v, precision=prec)
   return out.reshape(r, c)
 
 
@@ -859,9 +930,20 @@ def block_transition(lam: jnp.ndarray, a: jnp.ndarray, start: int,
   1-local (and in-block multi-local) operator expectation/gradient on the
   block is then a tiny contraction against G."""
   pre = 2**start
-  lv = jnp.conj(lam.reshape(pre, 2**k, -1))
+  prog = "aIb,aJb->IJ"
+  prec = matmul_precision()
+  lv = lam.reshape(pre, 2**k, -1)
   av = a.reshape(pre, 2**k, -1)
-  return jnp.einsum("aIb,aJb->IJ", lv, av, precision=matmul_precision())
+  if _planar_matmuls_enabled() and jnp.iscomplexobj(lv):
+    l_re, l_im = jnp.real(lv), jnp.imag(lv)
+    a_re, a_im = jnp.real(av), jnp.imag(av)
+    # conj(lam)^T a: re = lre.are + lim.aim, im = lre.aim - lim.are
+    g_re = (jnp.einsum(prog, l_re, a_re, precision=prec) +
+            jnp.einsum(prog, l_im, a_im, precision=prec))
+    g_im = (jnp.einsum(prog, l_re, a_im, precision=prec) -
+            jnp.einsum(prog, l_im, a_re, precision=prec))
+    return jax.lax.complex(g_re, g_im)
+  return jnp.einsum(prog, jnp.conj(lv), av, precision=prec)
 
 
 def partial_trace_1q(g_block: jnp.ndarray, k: int,
@@ -901,7 +983,7 @@ def apply_majors_and_minor(state: jnp.ndarray, major_by_qubit,
       if mat is not None:
         st = apply_row_block(mat, start, k, st)
     if minor_combined is not None:
-      st = jnp.matmul(st, minor_combined.T, precision=matmul_precision())
+      st = apply_minor_mat(st, minor_combined)
     return st
 
   if not (_fused_1q_enabled() and len(blocks) >= 2):
@@ -1134,8 +1216,7 @@ def expectation_terms(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
         fallback.append(t)
 
   if minor_only:
-    kmat = jnp.einsum("rc,rd->cd", jnp.conj(state), state,
-                      precision=matmul_precision())  # [C, C]
+    kmat = cross_gram(state, state)  # [C, C]
     for t in minor_only:
       p_np = _minor_pauli_np(_term_factors(op.codes[t], nr)[1], m)
       vals[t] = jnp.real(jnp.sum(jnp.asarray(p_np) * kmat))

@@ -412,3 +412,73 @@ def test_jit_toggle_on_simulator():
     return sv.expectation(state, op)
 
   run()
+
+
+class TestPlanarMatmuls:
+  """QHBM_PLANAR_MATMUL: planar (re, im) 4-real-dot decomposition of the
+  state-sized complex contractions (measured 1.70x faster than XLA's
+  complex lowering at bf16 'default' precision on TPU; see
+  benchmarks/RESULTS.md round-3 correction).  Must be bit-compatible with
+  the complex path up to matmul rounding on every contraction site."""
+
+  def _circuit(self, n=10, layers=2):
+    from qhbmlib_tpu.models import circuit_utils
+    return circuit_utils.hardware_efficient_ansatz(n, layers)
+
+  def test_forward_expectations_and_adjoint_match(self, monkeypatch):
+    from qhbmlib_tpu.ops import adjoint, paulis
+    monkeypatch.setenv("QHBM_MATMUL_PRECISION", "high")
+    n = 10
+    circ = self._circuit(n)
+    vals = jnp.asarray(
+        np.random.RandomState(3).uniform(0, 2, circ.num_symbols),
+        jnp.float32)
+    op = paulis.tfim_1d(n)
+    bits = jnp.asarray(
+        np.random.RandomState(4).randint(0, 2, (3, n)), jnp.int8)
+
+    def measure():
+      def f(v):
+        return jnp.sum(adjoint.batched_expectations(circ, v, bits, (op,)))
+      return jax.value_and_grad(jax.jit(f))(vals)
+
+    monkeypatch.setenv("QHBM_PLANAR_MATMUL", "0")
+    val0, grad0 = measure()
+    monkeypatch.setenv("QHBM_PLANAR_MATMUL", "1")
+    val1, grad1 = measure()
+    np.testing.assert_allclose(float(val0), float(val1), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(grad0), np.asarray(grad1),
+                               atol=5e-4)
+
+  def test_primitive_sites_match(self, monkeypatch):
+    """apply_row_block / apply_minor_mat / block_transition / cross_gram
+    each match their complex lowering on random states."""
+    monkeypatch.setenv("QHBM_MATMUL_PRECISION", "high")
+    rng = np.random.default_rng(7)
+    n = 11
+    r, c = 2**(n - 7), 128
+    state = rng.standard_normal((r, c)) + 1j * rng.standard_normal((r, c))
+    state = jnp.asarray(state / np.linalg.norm(state), sv.COMPLEX_DTYPE)
+    lam = rng.standard_normal((r, c)) + 1j * rng.standard_normal((r, c))
+    lam = jnp.asarray(lam / np.linalg.norm(lam), sv.COMPLEX_DTYPE)
+    u = np.linalg.qr(rng.standard_normal((16, 16)) +
+                     1j * rng.standard_normal((16, 16)))[0]
+    u16 = jnp.asarray(u, sv.COMPLEX_DTYPE)
+    u128 = jnp.asarray(
+        np.linalg.qr(rng.standard_normal((128, 128)) +
+                     1j * rng.standard_normal((128, 128)))[0],
+        sv.COMPLEX_DTYPE)
+
+    cases = {
+        "row_block": lambda: sv.apply_row_block(u16, 0, 4, state),
+        "minor_mat": lambda: sv.apply_minor_mat(state, u128),
+        "block_transition": lambda: sv.block_transition(lam, state, 0, 4),
+        "cross_gram": lambda: sv.cross_gram(lam, state),
+    }
+    for name, fn in cases.items():
+      monkeypatch.setenv("QHBM_PLANAR_MATMUL", "0")
+      want = jax.jit(fn)()
+      monkeypatch.setenv("QHBM_PLANAR_MATMUL", "1")
+      got = jax.jit(fn)()
+      np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                 atol=1e-5, err_msg=name)
