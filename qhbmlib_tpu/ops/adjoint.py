@@ -127,14 +127,20 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
         ang = jnp.asarray(angle, jnp.float32)
         _, dmat = jax.jvp(lambda t: sv.gate_matrix(gate.kind, t), (ang,),
                           (jnp.ones_like(ang),))
-        mg = suffix @ dmat @ jnp.conj(mat.T) @ jnp.conj(suffix.T)
+        hp = jax.lax.Precision.HIGHEST  # tiny operator folds: always exact
+        mg = jnp.matmul(
+            jnp.matmul(jnp.matmul(suffix, dmat, precision=hp),
+                       jnp.conj(mat.T), precision=hp),
+            jnp.conj(suffix.T), precision=hp)
         dangle = 2.0 * jnp.real(jnp.sum(mg * g_mat))
         grad_terms.append((gate.slot, gate.coeff * dangle))
-      suffix = suffix @ mat
+      suffix = jnp.matmul(suffix, mat,
+                          precision=jax.lax.Precision.HIGHEST)
     v_inv = jnp.conj(suffix.T)
     if q >= nr:
       emb = sv._embed_minor_mat(v_inv, (q - nr,), m)
-      minor_inv = emb if minor_inv is None else emb @ minor_inv
+      minor_inv = emb if minor_inv is None else jnp.matmul(
+          emb, minor_inv, precision=jax.lax.Precision.HIGHEST)
     else:
       major_inv_by_qubit[q] = v_inv
 

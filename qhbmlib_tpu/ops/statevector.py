@@ -256,7 +256,8 @@ def apply_dense(mat: jnp.ndarray, qubits: Tuple[int, ...],
       q = qubits[0]
       a = 2**q
       view = state.reshape(a, 2, -1)
-      out = jnp.einsum("ij,ajb->aib", mat, view)
+      out = jnp.einsum("ij,ajb->aib", mat, view,
+                       precision=matmul_precision())
       return out.reshape(r, c)
     if len(qubits) == 2:
       q0, q1 = qubits
@@ -265,9 +266,11 @@ def apply_dense(mat: jnp.ndarray, qubits: Tuple[int, ...],
       view = state.reshape(a, 2, b, 2, -1)
       mt = mat.reshape(2, 2, 2, 2)
       if q0 == s0:
-        out = jnp.einsum("XYxy,axbyd->aXbYd", mt, view)
+        out = jnp.einsum("XYxy,axbyd->aXbYd", mt, view,
+                         precision=matmul_precision())
       else:
-        out = jnp.einsum("XYxy,aybxd->aYbXd", mt, view)
+        out = jnp.einsum("XYxy,aybxd->aYbXd", mt, view,
+                         precision=matmul_precision())
       return out.reshape(r, c)
     # 3 major qubits (must be sorted): used by the gate-packing fast path.
     q0, q1, q2 = qubits
@@ -275,7 +278,8 @@ def apply_dense(mat: jnp.ndarray, qubits: Tuple[int, ...],
     a, b, d = 2**q0, 2**(q1 - q0 - 1), 2**(q2 - q1 - 1)
     view = state.reshape(a, 2, b, 2, d, 2, -1)
     mt = mat.reshape(2, 2, 2, 2, 2, 2)
-    out = jnp.einsum("XYZxyz,axbydze->aXbYdZe", mt, view)
+    out = jnp.einsum("XYZxyz,axbydze->aXbYdZe", mt, view,
+                     precision=matmul_precision())
     return out.reshape(r, c)
 
   # Mixed: one major (row) qubit, one minor (column) qubit.
@@ -760,38 +764,102 @@ def _sign_cols(masks, c: int) -> np.ndarray:
   return (1.0 - 2.0 * (par & 1)).astype(np.float32)
 
 
+def _phase_precision():
+  """Phase/sign-weight accumulation is accuracy-critical (the result
+  multiplies into exp(i*phase)): floor the precision at HIGH so 1-pass
+  bf16 mode cannot round the angles to 8 mantissa bits."""
+  prec = matmul_precision()
+  if prec in (None, jax.lax.Precision.DEFAULT):
+    return jax.lax.Precision.HIGH
+  return prec
+
+
+def _parity_chunks(coeffs, row_masks, col_masks, r, c):
+  """Chunk-stacked (w, rm, sc) arrays padded to a multiple of the chunk
+  size (pad terms carry weight 0)."""
+  k = len(row_masks)
+  # Never let the chunk exceed the factor count: ck is r-derived and at
+  # small r is millions, so padding k up to it would materialize GB of
+  # zero-weight sign columns (the exact pathology this helper replaces).
+  ck = max(1, min(_FACTOR_CHUNK_BYTES // (8 * int(r)), k))
+  pad = (-k) % ck
+  rm = np.asarray(list(row_masks) + [0] * pad, np.int32)
+  sc = np.concatenate(
+      [_sign_cols(col_masks, c),
+       np.zeros((pad, c), np.float32)]) if pad else _sign_cols(col_masks, c)
+  w = None
+  if coeffs is not None:
+    w = jnp.stack([jnp.asarray(x) for x in coeffs])
+    if pad:
+      w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+  nch = (k + pad) // ck
+  return (None if w is None else w.reshape(nch, ck),
+          rm.reshape(nch, ck), sc.reshape(nch, ck, int(c)), nch, ck)
+
+
 def parity_outer_sum(coeffs, row_masks, col_masks, shape_rc) -> jnp.ndarray:
   """sum_k coeffs_k * s(row & rm_k) (x) s(col & cm_k) as chunked matmuls.
 
   `coeffs` entries may be traced scalars (gate angles) or complex weights.
-  """
+
+  Multi-chunk sums run as a lax.scan with a rematerialized body: an
+  unrolled chunk loop lets XLA's scheduler keep every chunk's [R, C]
+  partial live at once, which at KOBE term counts (K ~ n^2/2) dominated
+  the whole train step's memory (measured 66 live states at 28 qubits;
+  the scan + remat bounds it at one chunk regardless of K)."""
   r, c = shape_rc
-  ck = max(1, _FACTOR_CHUNK_BYTES // (8 * int(r)))
-  total = None
-  for i in range(0, len(coeffs), ck):
-    s_r = _sign_rows(row_masks[i:i + ck], r)
-    s_c = jnp.asarray(_sign_cols(col_masks[i:i + ck], c))
-    w = jnp.stack([jnp.asarray(x) for x in coeffs[i:i + ck]])
-    if jnp.iscomplexobj(w):
-      s_r = s_r.astype(w.dtype)
-      s_c = s_c.astype(w.dtype)
-    part = jnp.matmul((s_r * w[:, None]).T, s_c,
-                      precision=matmul_precision())
-    total = part if total is None else total + part
+  if not row_masks:
+    return None  # no factors (legacy contract: callers guard non-empty)
+  w_ch, rm_ch, sc_ch, nch, ck = _parity_chunks(coeffs, row_masks,
+                                               col_masks, r, c)
+  prec = _phase_precision()
+  cdt = w_ch.dtype if jnp.iscomplexobj(w_ch) else None
+
+  def part_of(w_c, rm_c, sc_c):
+    s_r = _sign_rows(rm_c, r)
+    s_c = jnp.asarray(sc_c)
+    if cdt is not None:
+      s_r = s_r.astype(cdt)
+      s_c = s_c.astype(cdt)
+    return jnp.matmul((s_r * w_c[:, None]).T, s_c, precision=prec)
+
+  if nch == 1:
+    return part_of(w_ch[0], rm_ch[0], sc_ch[0])
+
+  def body(acc, xs):
+    w_c, rm_c, sc_c = xs
+    return acc + part_of(w_c, rm_c, sc_c), None
+
+  acc0 = jnp.zeros((int(r), int(c)), cdt or jnp.float32)
+  total, _ = jax.lax.scan(jax.checkpoint(body),
+                          acc0, (w_ch, jnp.asarray(rm_ch),
+                                 jnp.asarray(sc_ch)))
   return total
 
 
 def parity_bilinear(row_masks, col_masks, p: jnp.ndarray) -> jnp.ndarray:
-  """[K] vector of s_r_k^T P s_c_k, chunked over factors."""
+  """[K] vector of s_r_k^T P s_c_k, chunked over factors (scan + remat for
+  multi-chunk inputs -- see parity_outer_sum)."""
   r, c = p.shape
-  ck = max(1, _FACTOR_CHUNK_BYTES // (8 * int(r)))
-  outs = []
-  for i in range(0, len(row_masks), ck):
-    s_r = _sign_rows(row_masks[i:i + ck], r)
-    s_c = jnp.asarray(_sign_cols(col_masks[i:i + ck], c))
-    w = jnp.matmul(p, s_c.T, precision=matmul_precision())  # [R, Kc]
-    outs.append(jnp.einsum("kr,rk->k", s_r, w, precision=matmul_precision()))
-  return jnp.concatenate(outs)
+  _, rm_ch, sc_ch, nch, ck = _parity_chunks(None, row_masks, col_masks, r, c)
+  k = len(row_masks)
+
+  def vals_of(rm_c, sc_c):
+    s_r = _sign_rows(rm_c, r)
+    s_c = jnp.asarray(sc_c)
+    w = jnp.matmul(p, s_c.T, precision=matmul_precision())  # [R, ck]
+    return jnp.einsum("kr,rk->k", s_r, w, precision=matmul_precision())
+
+  if nch == 1:
+    return vals_of(rm_ch[0], sc_ch[0])[:k]
+
+  def body(_, xs):
+    rm_c, sc_c = xs
+    return None, vals_of(rm_c, sc_c)
+
+  _, outs = jax.lax.scan(jax.checkpoint(body), None,
+                         (jnp.asarray(rm_ch), jnp.asarray(sc_ch)))
+  return outs.reshape(-1)[:k]
 
 
 # Row (major) qubits are processed in contiguous blocks of up to this many
@@ -1039,10 +1107,18 @@ def _apply_1q_segment(gates, angles, state: jnp.ndarray) -> jnp.ndarray:
   for q in sorted(by_qubit):
     mat = by_qubit[q][0]
     for nxt in by_qubit[q][1:]:
-      mat = nxt @ mat
+      # Operator folds run EXACT regardless of QHBM_MATMUL_PRECISION: these
+      # [2,2]/[C,C] products cost nothing next to state passes, while bf16
+      # rounding HERE biases the combined operator -- and thus every
+      # amplitude it touches -- deterministically (unlike state-pass
+      # rounding, which is averaged over 2^n amplitudes).  Hardware
+      # re-measurement confirmed the hardening is free
+      # (benchmarks/RESULTS.md round-3 precision hardening note).
+      mat = jnp.matmul(nxt, mat, precision=jax.lax.Precision.HIGHEST)
     if q >= nr:
       emb = _embed_minor_mat(mat, (q - nr,), m)
-      minor_combined = emb if minor_combined is None else emb @ minor_combined
+      minor_combined = emb if minor_combined is None else jnp.matmul(
+          emb, minor_combined, precision=jax.lax.Precision.HIGHEST)
     else:
       major_by_qubit[q] = mat
   return apply_majors_and_minor(state, major_by_qubit, minor_combined)
