@@ -180,11 +180,14 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None,
 
   if name == "r5_gwg28_qmhl":
     n = size(28, 8)
-    # The spec size (28 qubits, BASELINE.json configs[4]) needs several live
-    # 2GB statevectors -- beyond one 16GB v5e chip.  With >1 device the rung
-    # shards every statevector over a 'state' mesh axis (ICI partner
-    # exchanges, parallel/sharded_sv.py) and spreads the GWG chains over the
-    # same devices; on one device it falls back to the dense engine.
+    # The spec size (28 qubits, BASELINE.json configs[4]) RUNS ON ONE 16GB
+    # v5e chip since the round-3 parity-factor scan+remat fix: measured
+    # 0.279 steps/s at max_unique=2 and 0.140 at the default max_unique=4
+    # (TPU XLA's HBM-aware scheduler fits what the CPU lowering estimates
+    # at 25.8GB; see benchmarks/RESULTS.md round-3 ladder).  With >1 device
+    # the rung instead shards every statevector over a 'state' mesh axis
+    # (ICI partner exchanges, parallel/sharded_sv.py) and spreads the GWG
+    # chains over the same devices; on one device it uses the dense engine.
     devices = jax.devices()
     state = 1
     while state * 2 <= len(devices):
