@@ -489,6 +489,9 @@ def _force_cpu():
   jax.config.update("jax_platforms", "cpu")
 
 
+_MAIN_T0 = time.time()  # accel-child start; proxies the parent's watchdog t0
+
+
 def main():
   os.environ.setdefault("QHBM_MATMUL_PRECISION", PRECISION)
   if "--cpu-child" in sys.argv:
@@ -595,6 +598,31 @@ def main():
         measure_pauli_expectations(WORKLOADS["20q"]), 1)
   except Exception as e:  # never let the extra kill the headline
     log(f"[bench] expectations/sec measurement failed: {e}")
+  total_to = float(os.environ.get("QHBM_BENCH_TOTAL_TIMEOUT", 4500))
+  budget_left = total_to - (time.time() - _MAIN_T0) - 120  # parent-start skew
+  if (_live_platform() != "cpu"
+      and os.environ.get("QHBM_BENCH_28Q", "1") != "0"
+      and budget_left > 900):
+    # 900s floor: a cold-cache 28q compile is ~400-500s + ~15s of steps; if
+    # the earlier workloads already ate the watchdog budget, skipping the
+    # extra is strictly better than letting the parent kill the child and
+    # discard the FRESH headline for a stale re-emission.
+    # The BASELINE configs[4] spec rung (28q GWG-MCMC QMHL) runs
+    # single-chip since round 3; publish it so the driver artifact carries
+    # the ladder's top measurement.  TPU-only (the XLA:CPU compile of this
+    # program takes ~20 min and has OOM'd a 125 GB host) and guarded: a
+    # failure (e.g. RESOURCE_EXHAUSTED from HBM fragmentation after the
+    # earlier workloads) only drops the extra.
+    try:
+      from benchmarks import run_ladder
+      log("[bench] measuring 28q GWG-QMHL ladder rung (compile ~400s)...")
+      r28 = run_ladder.run_rung("r5_gwg28_qmhl", steps=2, smoke=False,
+                                max_unique=2)
+      extra["steps_per_sec_28q_gwg_qmhl"] = r28["steps_per_sec"]
+      extra["workload_28q"] = {"rung": "r5_gwg28_qmhl", "max_unique": 2,
+                               "single_chip": True}
+    except Exception as e:
+      log(f"[bench] 28q ladder extra failed: {e}")
   if flops24:
     tflops = flops24 * sps24 / 1e12
     extra["flops_per_step_24q"] = flops24
