@@ -831,6 +831,13 @@ def parity_outer_sum(coeffs, row_masks, col_masks, shape_rc) -> jnp.ndarray:
     return acc + part_of(w_c, rm_c, sc_c), None
 
   acc0 = jnp.zeros((int(r), int(c)), cdt or jnp.float32)
+  # Inherit the weights' varying-manual-axes type: inside shard_map a
+  # device-varying `coeffs` (e.g. the sharded engine's per-device phase
+  # weights) makes the body output varying along the mesh axis, and scan
+  # requires the initial carry to match.  Outside shard_map this adds a
+  # literal zero.
+  zero = w_ch[0, 0] * 0
+  acc0 = acc0 + (jnp.real(zero) if cdt is None else zero)
   total, _ = jax.lax.scan(jax.checkpoint(body),
                           acc0, (w_ch, jnp.asarray(rm_ch),
                                  jnp.asarray(sc_ch)))
@@ -1022,6 +1029,48 @@ def partial_trace_1q(g_block: jnp.ndarray, k: int,
   return jnp.einsum("aibajb->ij", gt)
 
 
+def _bf16_state_enabled() -> bool:
+  """Opt-in (QHBM_STATE_DTYPE=bf16): thread bfloat16 (re, im) planes
+  between the chained contractions of a 1q segment.
+
+  The planes are extracted once at segment entry and recombined to
+  complex64 at exit, so inter-block HBM traffic halves (4 bytes/amplitude
+  vs 8) and the MXU reads bf16 natively with f32 accumulation.  State
+  storage BETWEEN segments stays complex64 -- the win is bounded to
+  multi-pass segments and measured at ~4%% of a 24q segment
+  (benchmarks/RESULTS.md round-3 table: bf16 planes 2.312 ms vs planar
+  2.419).  Accuracy: rounds the state to 8 mantissa bits per segment;
+  only meaningful under QHBM_MATMUL_PRECISION=default (the contraction
+  itself is 1-pass bf16 there), and gated on the bench's precision
+  accuracy artifact (bench.py measure_precision_accuracy)."""
+  import os
+  return os.environ.get("QHBM_STATE_DTYPE", "") == "bf16"
+
+
+def _apply_block_planes(mat_k: jnp.ndarray, start: int, k: int, re, im):
+  """apply_row_block on bf16 (re, im) planes with f32 MXU accumulation."""
+  r, c = re.shape
+  m_re = jnp.real(mat_k).astype(jnp.bfloat16)
+  m_im = jnp.imag(mat_k).astype(jnp.bfloat16)
+  vr = re.reshape(2**start, 2**k, -1)
+  vi = im.reshape(2**start, 2**k, -1)
+  prog = "MN,aNb->aMb"
+  kw = dict(preferred_element_type=jnp.float32)
+  o_re = jnp.einsum(prog, m_re, vr, **kw) - jnp.einsum(prog, m_im, vi, **kw)
+  o_im = jnp.einsum(prog, m_re, vi, **kw) + jnp.einsum(prog, m_im, vr, **kw)
+  return (o_re.reshape(r, c).astype(jnp.bfloat16),
+          o_im.reshape(r, c).astype(jnp.bfloat16))
+
+
+def _apply_minor_planes(mat: jnp.ndarray, re, im):
+  m_re = jnp.real(mat).astype(jnp.bfloat16).T
+  m_im = jnp.imag(mat).astype(jnp.bfloat16).T
+  kw = dict(preferred_element_type=jnp.float32)
+  o_re = jnp.matmul(re, m_re, **kw) - jnp.matmul(im, m_im, **kw)
+  o_im = jnp.matmul(re, m_im, **kw) + jnp.matmul(im, m_re, **kw)
+  return o_re.astype(jnp.bfloat16), o_im.astype(jnp.bfloat16)
+
+
 def _fused_1q_enabled() -> bool:
   """Streamed fused 1q-segment kernel (ops/pallas_sv.py
   fused_blocks_minor_apply): folds the first two row-block matmuls and the
@@ -1046,8 +1095,23 @@ def apply_majors_and_minor(state: jnp.ndarray, major_by_qubit,
   blocks = _row_blocks(nr)
 
   def plain(st):
-    for start, k in blocks:
-      mat = _fold_block(major_by_qubit, start, k)
+    folded = [(start, k, _fold_block(major_by_qubit, start, k))
+              for start, k in blocks]
+    passes = ([(s, k, f) for s, k, f in folded if f is not None] +
+              ([("minor",)] if minor_combined is not None else []))
+    if (_bf16_state_enabled() and jnp.iscomplexobj(st) and len(passes) >= 2):
+      # bf16 (re, im) planes between this segment's chained contractions;
+      # see _bf16_state_enabled for the bandwidth/accuracy trade.
+      re = jnp.real(st).astype(jnp.bfloat16)
+      im = jnp.imag(st).astype(jnp.bfloat16)
+      for start, k, mat in folded:
+        if mat is not None:
+          re, im = _apply_block_planes(mat, start, k, re, im)
+      if minor_combined is not None:
+        re, im = _apply_minor_planes(minor_combined, re, im)
+      return jax.lax.complex(re.astype(jnp.float32),
+                             im.astype(jnp.float32))
+    for start, k, mat in folded:
       if mat is not None:
         st = apply_row_block(mat, start, k, st)
     if minor_combined is not None:
@@ -1074,7 +1138,6 @@ def apply_majors_and_minor(state: jnp.ndarray, major_by_qubit,
     return plain(state)
 
   def fused(st):
-    import functools as _ft
     from qhbmlib_tpu.ops import pallas_sv
 
     def tpu_path(s):
@@ -1361,7 +1424,8 @@ def sample_bitstrings(key: jax.Array, state: jnp.ndarray,
 def unitary(circuit: ir.Circuit, symbol_values: jnp.ndarray) -> jnp.ndarray:
   """Dense (2^n, 2^n) unitary; metrics-only path (small n).
 
-  Replaces `tfq.layers.Unitary` (reference: qhbmlib/inference/qnn_utils.py:29-33).
+  Replaces `tfq.layers.Unitary` (reference:
+  qhbmlib/inference/qnn_utils.py:29-33).
   Jitted (circuit static) so metric code can call it eagerly: dispatching
   the column sweeps op-by-op would run complex ops outside XLA, which some
   accelerator backends reject.

@@ -243,14 +243,47 @@ def _segment_is_local(gates, idxs, k) -> bool:
   return all(q >= k for i in idxs for q in gates[i].qubits)
 
 
+def _apply_1q_segment_sharded(seg_gates, seg_angles, local: jnp.ndarray,
+                              k: int, axis_name: str) -> jnp.ndarray:
+  """A run of 1-qubit dense gates that may touch global (sharded) qubits.
+
+  Gates on distinct qubits commute, so same-qubit chains fold into one 2x2
+  product first: local qubits then reuse the dense engine's fused path
+  (kron row blocks + one combined minor matmul) and each global qubit pays
+  exactly ONE partner exchange for its whole folded chain -- instead of one
+  `ppermute` per gate occurrence (e.g. an rx+ry HEA layer on a global qubit
+  costs 1 exchange, not 2)."""
+  local_gates, local_angles = [], []
+  global_chains = {}
+  for gate, angle in zip(seg_gates, seg_angles):
+    q = gate.qubits[0]
+    if q >= k:
+      local_gates.append(_shift_gate(gate, k))
+      local_angles.append(angle)
+    else:
+      global_chains.setdefault(q, []).append((gate, angle))
+  if local_gates:
+    local = sv._apply_1q_segment(local_gates, local_angles, local)
+  hp = jax.lax.Precision.HIGHEST  # tiny operator folds: always exact
+  for q in sorted(global_chains):
+    mat = None
+    for gate, angle in global_chains[q]:
+      g_mat = sv.gate_matrix(gate.kind, angle)
+      mat = g_mat if mat is None else jnp.matmul(g_mat, mat, precision=hp)
+    local = _apply_dense_routed(mat, (q,), local, k, axis_name)
+  return local
+
+
 def apply_circuit_local(circuit: ir.Circuit, symbol_values: jnp.ndarray,
                         local: jnp.ndarray, k: int, axis_name: str,
                         angle_offsets: Optional[jnp.ndarray] = None
                         ) -> jnp.ndarray:
   """Sharded circuit application.  Segments that touch only local qubits
   reuse the dense engine's fused appliers on the local block (per-qubit 1q
-  merging, packed kron blocks, single-matmul diagonal phases); only gates on
-  global qubits pay the per-gate partner-exchange path."""
+  merging, packed kron blocks, single-matmul diagonal phases); 1q-dense
+  segments with global gates fold per qubit so each global qubit pays one
+  exchange per segment; only the remaining global gates pay the per-gate
+  partner-exchange path."""
   gates = circuit.gates
   angles = []
   for g_idx, gate in enumerate(gates):
@@ -266,6 +299,9 @@ def apply_circuit_local(circuit: ir.Circuit, symbol_values: jnp.ndarray,
         local = sv._apply_1q_segment(seg_gates, seg_angles, local)
       else:
         local = sv._apply_diag_segment(seg_gates, seg_angles, local)
+    elif cls == "1q":
+      local = _apply_1q_segment_sharded([gates[i] for i in idxs], seg_angles,
+                                        local, k, axis_name)
     else:
       for j, i in enumerate(idxs):
         local = apply_gate_local(gates[i], seg_angles[j], local, k, axis_name)
@@ -288,15 +324,154 @@ def basis_state_local(n: int, k: int, bits: jnp.ndarray,
   return sv.from_vector(flat, n - k)
 
 
+def _global_masks(codes_row, k: int) -> Tuple[int, int, int]:
+  """(xor_mask, phase_mask, num_Y) of a code row's global (qubit < k) part.
+
+  xor_mask: device-index XOR bits (X/Y); phase_mask: per-device sign bits
+  (Z/Y); the full global phase at device index e is
+  (1j)^num_Y * (-1)^popcount(e & phase_mask) -- matching
+  `apply_pauli_string_local`'s factor convention."""
+  xm = pm = ny = 0
+  for g in range(k):
+    c = codes_row[g]
+    bit = 1 << (k - 1 - g)
+    if c == paulis.X:
+      xm |= bit
+    elif c == paulis.Y:
+      xm |= bit
+      pm |= bit
+      ny += 1
+    elif c == paulis.Z:
+      pm |= bit
+  return xm, pm, ny
+
+
+def _device_signs(idx, phase_masks) -> jnp.ndarray:
+  """[T] float32 signs (-1)^popcount(idx & phase_masks[t]) for a traced
+  device index against static per-term masks."""
+  masks = jnp.asarray(np.asarray(phase_masks, np.int32))
+  par = jax.lax.population_count(jnp.bitwise_and(idx, masks)) & 1
+  return (1.0 - 2.0 * par).astype(jnp.float32)
+
+
+def _phase_combine(ny: int, sign, re_part, im_part):
+  """Re((1j)^ny * sign * (re_part + 1j*im_part)) with static ny."""
+  r = ny % 4
+  if r == 0:
+    return sign * re_part
+  if r == 1:
+    return -sign * im_part
+  if r == 2:
+    return -sign * re_part
+  return sign * im_part
+
+
 def expectation_terms_local(local: jnp.ndarray, op: paulis.PauliSum, k: int,
                             axis_name: str) -> jnp.ndarray:
-  """Per-term real <psi|P_t|psi>, psum-reduced over the state axis."""
-  flat = local.reshape(-1).conj()
-  vals = []
-  for t in range(op.num_terms):
-    p_state = apply_pauli_string_local(local, op.codes[t], k, axis_name)
-    vals.append(jnp.real(jnp.sum(flat * p_state.reshape(-1))))
+  """Per-term real <psi|P_t|psi>, psum-reduced over the state axis.
+
+  Tiered to minimize state passes and ICI traffic (mirroring the dense
+  engine's `ops/statevector.py expectation_terms`):
+
+    * terms whose global part is diagonal (I/Z) evaluate through ONE
+      dense-engine tiered pass on the local block (all diagonal terms share
+      a single parity-bilinear contraction; X/Y-local terms share block
+      transition tensors), times a per-device parity sign -- zero
+      collectives until the final psum;
+    * terms with global X/Y group by their device-XOR mask and share ONE
+      `ppermute` per distinct mask; diagonal local parts within a group
+      batch into one bilinear contraction against conj(psi)*partner.
+
+  A 1D-TFIM observable on a 2^k-device mesh thus costs k block exchanges
+  (one per global X qubit) and a handful of local contractions, instead of
+  one full state pass + psum per term."""
+  num_terms = op.num_terms
+  num_devices = 2**k
+  idx = jax.lax.axis_index(axis_name)
+  nl = _local_num_qubits(local)
+  m = int(local.shape[1]).bit_length() - 1
+  nr = nl - m
+  vals = [None] * num_terms
+
+  groups = {}
+  infos = []
+  for t in range(num_terms):
+    info = _global_masks(op.codes[t], k)
+    infos.append(info)
+    groups.setdefault(info[0], []).append(t)
+
+  # Tier 1: global part diagonal -> dense tiered local pass * device sign.
+  ts0 = groups.pop(0, [])
+  if ts0:
+    lop = paulis.PauliSum(tuple(op.codes[t][k:] for t in ts0),
+                          jnp.ones([len(ts0)], jnp.float32), nl)
+    local_vals = sv.expectation_terms(local, lop)  # [len(ts0)] per device
+    signs = _device_signs(idx, [infos[t][1] for t in ts0])
+    for j, t in enumerate(ts0):
+      vals[t] = signs[j] * local_vals[j]
+
+  # Tier 2: one partner exchange per distinct global-XOR mask.
+  for xm, ts in groups.items():
+    partner = jax.lax.ppermute(local, axis_name,
+                               _xor_perm(num_devices, xm))
+    src = jnp.bitwise_xor(idx, xm)  # phase is evaluated at the SOURCE index
+    diag_ts = [t for t in ts if sv._is_diag_codes(op.codes[t][k:])]
+    rest_ts = [t for t in ts if t not in diag_ts]
+    if diag_ts:
+      w = jnp.conj(local) * partner
+      masks = [sv.pauli_z_masks(op.codes[t][k:], nr, m) for t in diag_ts]
+      br = sv.parity_bilinear([rm for rm, _ in masks],
+                              [cm for _, cm in masks], jnp.real(w))
+      bi = sv.parity_bilinear([rm for rm, _ in masks],
+                              [cm for _, cm in masks], jnp.imag(w))
+      signs = _device_signs(src, [infos[t][1] for t in diag_ts])
+      for j, t in enumerate(diag_ts):
+        vals[t] = _phase_combine(infos[t][2], signs[j], br[j], bi[j])
+    if rest_ts:
+      flat = jnp.conj(local.reshape(-1))
+      signs = _device_signs(src, [infos[t][1] for t in rest_ts])
+      for j, t in enumerate(rest_ts):
+        p_state = sv.apply_pauli_string(partner, list(op.codes[t])[k:])
+        z = jnp.sum(flat * p_state.reshape(-1))
+        vals[t] = _phase_combine(infos[t][2], signs[j], jnp.real(z),
+                                 jnp.imag(z))
   return jax.lax.psum(jnp.stack(vals), axis_name)
+
+
+def build_lambda_local(psi: jnp.ndarray, op: paulis.PauliSum,
+                       term_weights: jnp.ndarray, k: int,
+                       axis_name: str) -> jnp.ndarray:
+  """lam = sum_t w_t P_t |psi> on the sharded state, tiered like the dense
+  engine's `apply_pauli_sum`: terms group by global-XOR mask, each group
+  runs ONE tiered local apply (with per-device phase folded into the term
+  weights) followed by a single `ppermute` -- instead of one full state
+  pass + exchange per term."""
+  num_devices = 2**k
+  idx = jax.lax.axis_index(axis_name)
+  nl = _local_num_qubits(psi)
+
+  groups = {}
+  infos = []
+  for t in range(op.num_terms):
+    info = _global_masks(op.codes[t], k)
+    infos.append(info)
+    groups.setdefault(info[0], []).append(t)
+
+  lam = jnp.zeros_like(psi)
+  for xm, ts in groups.items():
+    signs = _device_signs(idx, [infos[t][1] for t in ts])
+    iy = jnp.asarray(
+        np.asarray([(1j)**(infos[t][2] % 4) for t in ts], np.complex64))
+    w = (term_weights[jnp.asarray(ts)].astype(COMPLEX_DTYPE) *
+         signs.astype(COMPLEX_DTYPE) * iy)
+    lop = paulis.PauliSum(tuple(op.codes[t][k:] for t in ts),
+                          jnp.ones([len(ts)], jnp.float32), nl)
+    contrib = sv.apply_pauli_sum(psi, lop, term_weights=w)
+    if xm:
+      contrib = jax.lax.ppermute(contrib, axis_name,
+                                 _xor_perm(num_devices, xm))
+    lam = lam + contrib
+  return lam
 
 
 # ---------------------------------------------------------------------------
@@ -310,26 +485,94 @@ def _term_expectations_fwd_local(circuit, values, bits, big_op, k, axis_name):
   return expectation_terms_local(psi, big_op, k, axis_name)
 
 
+def _bwd_1q_segment_sharded(seg_gates, seg_angles, grad_terms, a, lam, k,
+                            axis_name):
+  """Backward through a 1q-dense run that touches global qubits.
+
+  Local chains reuse the dense engine's fused backward (block transition
+  MXU contractions + kron-folded un-applies) on the local block.  Each
+  global qubit's whole chain then costs TWO exchanges total (partner of
+  `a`, partner of `lam`): the 2x2 reduced transition matrix over a global
+  qubit has its diagonal entry in the local inner product <lam|a> and its
+  off-diagonal entry in <lam|partner_a>, so every gate gradient in the
+  chain is a tiny 2x2 contraction against those two dots -- and the folded
+  inverse reuses the same partner blocks for the un-apply.  Per-device
+  values are partial sums; the caller's stacked psum completes them.
+
+  Exactness note: un-applies of disjoint-qubit chains applied symmetrically
+  to `a` and `lam` cancel inside later inner products (V† M V = M for M on
+  an untouched qubit), so interleaving local/global processing preserves
+  the dense `_bwd_1q_segment` math."""
+  from qhbmlib_tpu.ops import adjoint as dense_adjoint
+
+  num_devices = 2**k
+  local_gates, local_angles = [], []
+  global_chains = {}
+  for gate, angle in zip(seg_gates, seg_angles):
+    q = gate.qubits[0]
+    if q >= k:
+      local_gates.append(_shift_gate(gate, k))
+      local_angles.append(angle)
+    else:
+      global_chains.setdefault(q, []).append((gate, angle))
+  if local_gates:
+    a, lam = dense_adjoint._bwd_1q_segment(local_gates, local_angles,
+                                           grad_terms, a, lam)
+  hp = jax.lax.Precision.HIGHEST
+  for q in sorted(global_chains):
+    chain = global_chains[q]
+    mask = 1 << (k - 1 - q)
+    b = _device_bit(axis_name, k, q)
+    partner_a = jax.lax.ppermute(a, axis_name,
+                                 _xor_perm(num_devices, mask))
+    if any(gate.slot >= 0 for gate, _ in chain):
+      dot_own = jnp.sum(jnp.conj(lam) * a)
+      dot_cross = jnp.sum(jnp.conj(lam) * partner_a)
+    suffix = jnp.eye(2, dtype=COMPLEX_DTYPE)
+    for gate, angle in reversed(chain):
+      mat = sv.gate_matrix(gate.kind, angle)
+      if gate.slot >= 0:
+        ang = jnp.asarray(angle, jnp.float32)
+        _, dmat = jax.jvp(lambda t: sv.gate_matrix(gate.kind, t), (ang,),
+                          (jnp.ones_like(ang),))
+        mg = jnp.matmul(
+            jnp.matmul(jnp.matmul(suffix, dmat, precision=hp),
+                       jnp.conj(mat.T), precision=hp),
+            jnp.conj(suffix.T), precision=hp)
+        row = _select_bit(mg, b)
+        dangle = 2.0 * jnp.real(_select_bit(row, b) * dot_own +
+                                _select_bit(row, 1 - b) * dot_cross)
+        grad_terms.append((gate.slot, gate.coeff * dangle))
+      suffix = jnp.matmul(suffix, mat, precision=hp)
+    v_inv = jnp.conj(suffix.T)
+    row = _select_bit(v_inv, b)
+    keep = _select_bit(row, b)
+    ex = _select_bit(row, 1 - b)
+    a = keep * a + ex * partner_a
+    partner_lam = jax.lax.ppermute(lam, axis_name,
+                                   _xor_perm(num_devices, mask))
+    lam = keep * lam + ex * partner_lam
+  return a, lam
+
+
 def _term_expectations_bwd_local(circuit, values, bits, big_op, g, k,
                                  axis_name):
   """Adjoint reverse sweep; recomputes the forward state (memory O(2^(n-k))
   per device instead of carrying per-batch-element residual states).
 
-  Local-only segments reuse the dense engine's fused backward helpers on
-  the local block; per-gate gradient contributions collect into one stacked
-  psum + scatter at the end.
+  lambda builds from ONE tiered local apply + ppermute per distinct
+  global-XOR mask (`build_lambda_local`); local-only segments reuse the
+  dense engine's fused backward helpers on the local block; 1q segments
+  with global gates fold per qubit (two exchanges per global qubit); and
+  per-gate gradient contributions collect into one stacked psum + scatter
+  at the end.
   """
   from qhbmlib_tpu.ops import adjoint as dense_adjoint
 
   psi = apply_circuit_local(circuit, values,
                             basis_state_local(circuit.num_qubits, k, bits,
                                               axis_name), k, axis_name)
-  ones_op = paulis.PauliSum(big_op.codes, jnp.ones_like(big_op.coeffs),
-                            big_op.num_qubits)
-  lam = jnp.zeros_like(psi)
-  for t in range(ones_op.num_terms):
-    lam = lam + g[t].astype(COMPLEX_DTYPE) * apply_pauli_string_local(
-        psi, ones_op.codes[t], k, axis_name)
+  lam = build_lambda_local(psi, big_op, g, k, axis_name)
   grad_terms = []
   a = psi
   gates = circuit.gates
@@ -345,6 +588,9 @@ def _term_expectations_bwd_local(circuit, values, bits, big_op, g, k,
       else:
         a, lam = dense_adjoint._bwd_1q_segment(seg_gates, seg_angles,
                                                grad_terms, a, lam)
+    elif cls == "1q":
+      a, lam = _bwd_1q_segment_sharded([gates[i] for i in idxs], seg_angles,
+                                       grad_terms, a, lam, k, axis_name)
     else:
       for j, i in reversed(list(enumerate(idxs))):
         gate, angle = gates[i], seg_angles[j]
