@@ -408,16 +408,28 @@ class SampledQuantumInference(QuantumInference):
     return jnp.stack([jnp.sum(weighted[:, a:b], axis=1) for a, b in slices],
                      axis=1)
 
-  def sample(self, initial_states, counts):
+  def sample(self, initial_states, counts, max_count=None):
     """Measurement samples from the QNN applied to each initial state.
 
     Replaces the reference's ragged output (reference qnn.py:266-292) with a
     fixed-shape (samples [B, max_count, n], mask [B, max_count]) pair where
     `mask[i, j] = j < counts[i]`.
+
+    `max_count` (a static Python int) bounds the per-state sample axis.  It
+    defaults to `int(max(counts))`, which concretizes `counts` -- fine on the
+    eager convenience path, impossible under `jit`.  Callers tracing this
+    method must pass `max_count` explicitly.
     """
     initial_states = jnp.asarray(initial_states)
     counts = jnp.asarray(counts)
-    max_count = int(jnp.max(counts))
+    if max_count is None:
+      if isinstance(counts, jax.core.Tracer):
+        raise ValueError(
+            "sample() under jit requires a static `max_count` argument: "
+            "`counts` is traced, so the per-state sample axis cannot be "
+            "sized from its runtime maximum.")
+      max_count = int(jnp.max(counts))
+    max_count = int(max_count)
     values = self._circuit.resolved_values
     n = self._circuit.num_qubits
     key = self._next_key()

@@ -200,6 +200,25 @@ class TestSampledQuantumInference:
     np.testing.assert_array_equal(np.asarray(mask),
                                   [[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]])
 
+  def test_sample_jit_with_static_max_count(self):
+    """Under jit, `counts` is traced: a static `max_count` must be passed
+    (and makes the method trace-safe); omitting it raises an actionable
+    error instead of a TracerConversionError deep in int()."""
+    n = 2
+    circ, q_sampled = _setup(n, seed=18, sampled=True, shots=100)
+    bits = jnp.asarray([[0, 0], [1, 1]], jnp.int8)
+    counts = jnp.asarray([5, 3])
+
+    jitted = jax.jit(
+        lambda b, c: q_sampled.sample(b, c, max_count=5))
+    samples, mask = jitted(bits, counts)
+    assert samples.shape == (2, 5, n)
+    np.testing.assert_array_equal(np.asarray(mask),
+                                  [[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]])
+
+    with pytest.raises(ValueError, match="static `max_count`"):
+      jax.jit(lambda b, c: q_sampled.sample(b, c))(bits, counts)
+
   def test_sample_uneven(self):
     """No discrepancy in sample statistics when count entries differ
     (analog of reference qnn_test.py test_sample_uneven)."""
