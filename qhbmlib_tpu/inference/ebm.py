@@ -24,8 +24,7 @@ Functional-state design notes (vs the reference's mutable Keras layers):
 from __future__ import annotations
 
 import abc
-import functools
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -406,7 +405,16 @@ def gwg_index_proposal_probs(energy_apply, theta, state_f: jnp.ndarray):
 
 def gwg_one_step(energy_apply, theta, key, state: jnp.ndarray) -> jnp.ndarray:
   """One Gibbs-With-Gradients Metropolis-Hastings step on a [n] int8 state
-  (reference ebm.py:652-685)."""
+  (reference ebm.py:652-685).
+
+  API note: the reference packages GWG as a reusable
+  `tfp.mcmc.TransitionKernel` (`bootstrap_results`/`one_step` protocol,
+  reference ebm.py:564-702).  The idiomatic-JAX equivalent of that protocol
+  is exactly this shape -- a pure `(key, state) -> state` step function --
+  which composes with `lax.scan`/`vmap` directly and is what
+  blackjax-style samplers expect.  A different sampler plugs into
+  `GibbsWithGradientsInference` via its `step_fn` constructor argument
+  with this signature; no kernel class registry is needed."""
   n = state.shape[0]
   k_idx, k_accept = jax.random.split(key)
   state_f = state.astype(jnp.float32)
@@ -442,8 +450,14 @@ class GibbsWithGradientsInference(EnergyInference):
                name: Optional[str] = None,
                num_chains: int = 1,
                max_unique_samples: Optional[int] = None,
-               initial_seed=None):
+               initial_seed=None,
+               step_fn=None):
+    """`step_fn(energy_apply, theta, key, state[n] int8) -> state` swaps the
+    MCMC transition kernel (defaults to `gwg_one_step`) -- the functional
+    analog of the reference's pluggable `tfp.mcmc.TransitionKernel`
+    (reference ebm.py:564-702)."""
     super().__init__(input_energy, num_expectation_samples, initial_seed, name)
+    self._step_fn = step_fn if step_fn is not None else gwg_one_step
     self.num_burnin_samples = int(num_burnin_samples)
     self.num_chains = int(num_chains)
     n = input_energy.num_bits
@@ -470,7 +484,7 @@ class GibbsWithGradientsInference(EnergyInference):
       state = carry
       keys = jax.random.split(k, state.shape[0])
       new_state = jax.vmap(
-          lambda kk, s: gwg_one_step(e_apply, theta, kk, s))(keys, state)
+          lambda kk, s: self._step_fn(e_apply, theta, kk, s))(keys, state)
       return new_state, new_state
 
     keys = jax.random.split(key, num_steps)

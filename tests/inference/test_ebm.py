@@ -255,6 +255,41 @@ class TestGibbsWithGradients:
     assert (hist > 0).all()
     np.testing.assert_allclose(hist, probs, atol=1e-2)
 
+  def test_pluggable_step_fn(self):
+    """`step_fn` swaps the transition kernel (the functional analog of the
+    reference's tfp.mcmc.TransitionKernel protocol, reference
+    ebm.py:564-702): a plain single-site Metropolis kernel still converges
+    to softmax(-E), and a degenerate identity kernel freezes the chain --
+    proving the custom kernel is what actually runs."""
+    n = 3
+    energy = _random_kobe(n, seed=13)
+
+    def metropolis_step(energy_apply, theta, key, state):
+      k_idx, k_accept = jax.random.split(key)
+      i = jax.random.randint(k_idx, (), 0, n)
+      flip = (jnp.arange(n) == i).astype(jnp.int8)
+      x_prime = jnp.bitwise_xor(state, flip)
+      energies = energy_apply(theta, jnp.stack([x_prime, state]))
+      accept = (jax.random.uniform(k_accept) <=
+                jnp.minimum(jnp.exp(energies[1] - energies[0]), 1.0))
+      return jnp.where(accept, x_prime, state)
+
+    infer = ebm.GibbsWithGradientsInference(
+        energy, 50_000, num_burnin_samples=500, num_chains=16,
+        initial_seed=9, step_fn=metropolis_step)
+    samples = infer.sample(50_000)
+    idx = np.asarray(samples).astype(np.int64) @ (2**np.arange(n - 1, -1, -1))
+    hist = np.bincount(idx, minlength=2**n) / idx.shape[0]
+    all_bits = jnp.asarray(sv.all_bitstrings(n))
+    probs = np.asarray(jax.nn.softmax(-energy(all_bits)))
+    np.testing.assert_allclose(hist, probs, atol=2e-2)
+
+    frozen = ebm.GibbsWithGradientsInference(
+        energy, 64, num_burnin_samples=10, num_chains=1, initial_seed=9,
+        step_fn=lambda e_apply, theta, key, state: state)
+    s = np.asarray(frozen.sample(64))
+    assert (s == s[0]).all()
+
   def test_burn_in_on_parameter_change(self):
     """Changing energy weights re-equilibrates the chain (analog of the
     reference's preface-inference mutation test, qhbm_test.py:113-150)."""
