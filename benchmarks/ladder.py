@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from qhbmlib_tpu import data as data_module
 from qhbmlib_tpu import models, nn, parallel
@@ -98,6 +97,13 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None,
   import optax
   opt = optax.adam(1e-2)
 
+  if max_unique is not None and max_unique < 1:
+    raise ValueError(f"max_unique must be >= 1, got {max_unique} "
+                     "(omit it to use the rung default)")
+
+  def unique_cap(default):
+    return default if max_unique is None else max_unique
+
   def size(default, smoke_size):
     if qubits is not None:
       return qubits
@@ -169,7 +175,7 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None,
                               devices=devices[:state])
     energy = models.BernoulliEnergy(list(range(n)))
     e_inf = ebm.BernoulliEnergyInference(energy, 100, initial_seed=4,
-                                         max_unique_samples=max_unique or 8)
+                                         max_unique_samples=unique_cap(8))
     circuit = models.DirectQuantumCircuit(
         circuit_utils.hardware_efficient_ansatz(n, 2))
     q_inf = parallel.ShardedQuantumInference(circuit, mesh, data_axis=None)
@@ -205,20 +211,20 @@ def build_rung(name: str, smoke: bool = False, qubits: int = None,
                                 devices=devices[:state])
       e_inf = parallel.ShardedGibbsWithGradientsInference(
           energy, 32, burnin, mesh, chains_axis=mesh_lib.STATE_AXIS,
-          num_chains=8, max_unique_samples=max_unique or 4, initial_seed=5)
+          num_chains=8, max_unique_samples=unique_cap(4), initial_seed=5)
       q_inf = parallel.ShardedQuantumInference(circuit, mesh, data_axis=None)
       d_q_inf = parallel.ShardedQuantumInference(d_circuit, mesh,
                                                  data_axis=None)
     else:
       e_inf = ebm.GibbsWithGradientsInference(
           energy, 32, num_burnin_samples=burnin,
-          num_chains=8, max_unique_samples=max_unique or 4, initial_seed=5)
+          num_chains=8, max_unique_samples=unique_cap(4), initial_seed=5)
       q_inf = qnn.AnalyticQuantumInference(circuit)
       d_q_inf = qnn.AnalyticQuantumInference(d_circuit)
     h = qhbm.QHBM(e_inf, q_inf)
     # Data: a fixed random QHBM at the same size (sampling-based source).
     d_e_inf = ebm.BernoulliEnergyInference(d_energy, 32, initial_seed=6,
-                                           max_unique_samples=max_unique or 4)
+                                           max_unique_samples=unique_cap(4))
     data = data_module.QHBMData(qhbm.QHBM(d_e_inf, d_q_inf))
     step, params, opt_state = _qmhl_step(data, h, opt)
     ebm_state = (None, e_inf.chain_state)

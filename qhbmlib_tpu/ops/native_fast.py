@@ -38,22 +38,47 @@ def _source_path() -> str:
       os.path.abspath(__file__)))), "native", "fast_sim.cc")
 
 
+_BUILD_FLAGS = ["-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC"]
+
+
+def _artifact_key(src: str) -> str:
+  """Cache key for the compiled .so: source content + compile flags + host
+  CPU features.  -march=native specializes to THIS host's ISA, so a checkout
+  shared or copied between machines must not load another host's artifact
+  (stale-.so SIGILL hazard -- same class as benchmarks/_cache.py's
+  XLA-compile-cache note)."""
+  import hashlib
+  h = hashlib.sha256()
+  with open(src, "rb") as f:
+    h.update(f.read())
+  h.update(" ".join(_BUILD_FLAGS).encode())
+  try:
+    with open("/proc/cpuinfo") as f:
+      for line in f:
+        if line.startswith("flags"):
+          h.update(line.encode())
+          break
+  except OSError:
+    import platform
+    h.update(platform.processor().encode())
+  return h.hexdigest()[:12]
+
+
 def _load():
   global _LIB, _BUILD_ERROR
   if _LIB is not None or _BUILD_ERROR is not None:
     return _LIB
   src = _source_path()
-  lib_path = os.path.join(os.path.dirname(src), "libfast_sim.so")
   try:
-    if (not os.path.exists(lib_path) or
-        os.path.getmtime(lib_path) < os.path.getmtime(src)):
+    lib_path = os.path.join(os.path.dirname(src),
+                            f"libfast_sim.{_artifact_key(src)}.so")
+    if not os.path.exists(lib_path):
       # Compile to a process-unique temp name and os.replace (atomic on
       # POSIX) so concurrent builders never CDLL a half-written .so.
       tmp_path = f"{lib_path}.{os.getpid()}.tmp"
       try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
-             "-fPIC", "-o", tmp_path, src],
+            ["g++", *_BUILD_FLAGS, "-o", tmp_path, src],
             check=True, capture_output=True, text=True, timeout=240)
         os.replace(tmp_path, lib_path)
       finally:

@@ -141,3 +141,48 @@ def simulate(circuit: ir.Circuit, symbol_values,
   if rc != 0:
     raise RuntimeError(f"native oracle failed with code {rc}")
   return out_re + 1j * out_im
+
+
+def _popcount(x: np.ndarray) -> np.ndarray:
+  out = np.zeros_like(x)
+  while np.any(x):
+    out += x & 1
+    x = x >> 1
+  return out
+
+
+def expectation_f64(psi: np.ndarray, op) -> float:
+  """<psi|op|psi> in float64 numpy on a flat [2^n] statevector.
+
+  Oracle-side companion to `simulate`: together they give a fully
+  double-precision forward+expectation reference, used by bench.py's
+  bf16-headline accuracy artifact and by precision tests.  Bit convention
+  matches the engine (qubit 0 = most significant index bit, phases taken at
+  the input index -- ops/statevector.py apply_pauli_string)."""
+  psi = np.asarray(psi, np.complex128).reshape(-1)
+  n = op.num_qubits
+  if psi.size != 2**n:
+    raise ValueError(f"psi has {psi.size} amplitudes for {n} qubits")
+  idx = np.arange(psi.size, dtype=np.int64)
+  conj = np.conj(psi)
+  coeffs = np.asarray(op.coeffs, np.complex128)
+  total = 0.0
+  for t in range(op.num_terms):
+    flip = pm = 0
+    ny = 0
+    for q, c in enumerate(op.codes[t]):
+      bit = 1 << (n - 1 - q)
+      if c == 1:  # X
+        flip |= bit
+      elif c == 2:  # Y
+        flip |= bit
+        pm |= bit
+        ny += 1
+      elif c == 3:  # Z
+        pm |= bit
+    src = idx ^ flip
+    val = conj * psi[src]
+    if pm:
+      val = val * (1.0 - 2.0 * (_popcount(src & pm) & 1))
+    total += float(np.real(coeffs[t] * (1j)**(ny % 4) * np.sum(val)))
+  return total

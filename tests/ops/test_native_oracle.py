@@ -27,6 +27,30 @@ def test_simulate_matches_native(n, depth, seed):
   np.testing.assert_allclose(actual, expected, atol=2e-5)
 
 
+@pytest.mark.parametrize("n,seed", [(3, 31), (5, 32)])
+def test_expectation_f64_matches_engine(n, seed):
+  """The f64 host-side PauliSum expectation (the precision reference for
+  bench.py's bf16-accuracy artifact) agrees with the JAX engine's tiered
+  expectation on random states and random multi-term observables."""
+  from qhbmlib_tpu.ops import paulis
+  rng = np.random.RandomState(seed)
+  vec = rng.normal(size=2**n) + 1j * rng.normal(size=2**n)
+  vec = vec / np.linalg.norm(vec)
+  terms = [(float(rng.uniform(-1, 1)),
+            {int(q): "XYZ"[rng.randint(3)]
+             for q in rng.choice(n, rng.randint(1, n), replace=False)})
+           for _ in range(6)]
+  op = paulis.pauli_sum_from_strings(n, terms)
+  got = native_oracle.expectation_f64(vec, op)
+  state = sv.from_vector(jnp.asarray(vec, jnp.complex64), n)
+  want = float(sv.expectation(state, op))
+  np.testing.assert_allclose(got, want, atol=2e-5)
+  # And against the dense-matrix definition, full f64.
+  dense = np.asarray(op.dense(), np.complex128)
+  exact = float(np.real(np.conj(vec) @ dense @ vec))
+  np.testing.assert_allclose(got, exact, atol=1e-12)
+
+
 def test_basis_state_init_matches_native():
   n = 4
   circuit = random_circuit(n, 2, seed=24)
