@@ -15,7 +15,6 @@ Run:  python -m baselines.train --config baselines/config.py \
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
@@ -473,6 +472,7 @@ def train_model(qhbm_obj: qhbm.QHBM,
 
   log = config.logging
   profiler_active = False
+  inner_writer = None
   for step in range(num_steps):
     # jax.profiler trace of the first few steady-state steps (skip step 0,
     # which includes compilation).  The reference had no profiling at all
@@ -494,26 +494,32 @@ def train_model(qhbm_obj: qhbm.QHBM,
     elif method == "mirror":
       loss, grads, ebm_state = mirror_vag(params, k_step, ebm_state)
       anchor = jax.tree_util.tree_map(jnp.asarray, params)
-      step_writer = MetricsWriter(
-          os.path.join(metrics_dir, f"train_step_{step}"),
-          tensorboard=bool(log.tensorboard))
+      # One shared inner-loop writer for the whole run (the reference logs
+      # each outer step to its own summary subdir, train.py:375-451, which
+      # litters thousands of directories on long runs); the global inner
+      # index `step * num_inner_steps + inner_step` keeps per-outer-step
+      # trajectories separable.
+      if inner_writer is None:
+        inner_writer = MetricsWriter(
+            os.path.join(metrics_dir, "train_inner"),
+            tensorboard=bool(log.tensorboard))
       for inner_step in range(config.training.num_inner_steps):
         key, k_inner = jax.random.split(key)
         params, opt_state, inner, aux, igrads = mirror_inner(
             params, opt_state, anchor, grads, k_inner, ebm_state)
         inner_prod, div, euclid, ebm_state = aux
+        inner_idx = step * config.training.num_inner_steps + inner_step
         if log.inner_loss:
-          step_writer.scalar("inner_loss", inner, inner_step)
+          inner_writer.scalar("inner_loss", inner, inner_idx)
         if log.inner_prod:
-          step_writer.scalar("inner_prod", inner_prod, inner_step)
+          inner_writer.scalar("inner_prod", inner_prod, inner_idx)
         if log.div:
-          step_writer.scalar("div", div, inner_step)
-          step_writer.scalar("euclidean_div", euclid, inner_step)
+          inner_writer.scalar("div", div, inner_idx)
+          inner_writer.scalar("euclidean_div", euclid, inner_idx)
         if log.inner_loss_grads:
-          step_writer.histogram("inner_loss_grads",
-                                _flat(jax.tree_util.tree_leaves(igrads)),
-                                inner_step)
-      step_writer.close()
+          inner_writer.histogram("inner_loss_grads",
+                                 _flat(jax.tree_util.tree_leaves(igrads)),
+                                 inner_idx)
     else:
       raise ValueError(method)
 
@@ -575,6 +581,8 @@ def train_model(qhbm_obj: qhbm.QHBM,
 
   if profiler_active:
     jax.profiler.stop_trace()
+  if inner_writer is not None:
+    inner_writer.close()
   qhbm_obj.set_params(params)
   if hasattr(qhbm_obj.e_inference, "_chain_state") and ebm_state is not None:
     qhbm_obj.e_inference._chain_state = ebm_state
