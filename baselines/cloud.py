@@ -21,8 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shlex
-import sys
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from baselines import launch as launch_lib
 

@@ -1,4 +1,5 @@
-"""Experiment configuration (schema mirrors reference baselines/config.py:11-101)."""
+"""Experiment configuration (schema mirrors reference
+baselines/config.py:11-101)."""
 
 import datetime
 import itertools

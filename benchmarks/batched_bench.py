@@ -79,7 +79,8 @@ def main():
     times.append((time.time() - t0) / K)
   per_iter = min(times)
   print(f"[{variant}] n={N} L={LAYERS} B={B}: {per_iter * 1e3:.2f} ms/iter "
-        f"({per_iter * 1e3 / B:.3f} ms/state) loss={float(np.asarray(vals)[-1]):.6f}")
+        f"({per_iter * 1e3 / B:.3f} ms/state) "
+        f"loss={float(np.asarray(vals)[-1]):.6f}")
 
 
 if __name__ == "__main__":

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Driver for the staged Pallas-batched hardware A/B (benchmarks/batched_bench.py).
+"""Driver for the staged Pallas-batched hardware A/B
+(benchmarks/batched_bench.py).
 
 Runs each variant in its own process (env is read at trace time), REPEATS
 times each, alternating variants to decorrelate tunnel-latency drift, and

@@ -22,7 +22,7 @@ TPU-native differences from the reference:
 from __future__ import annotations
 
 import functools
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

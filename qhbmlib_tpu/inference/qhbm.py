@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from qhbmlib_tpu import utils
 from qhbmlib_tpu.inference import ebm

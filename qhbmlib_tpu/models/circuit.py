@@ -9,9 +9,8 @@ structure but is a pure function of a flat variable list.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -261,7 +260,8 @@ class QAIA(QuantumCircuit):
     num_classical = len(classical_h_terms)
 
     def embed_params(inputs):
-      """Ties QAIA parameters: per-layer values are [gammas_l, etas_l*thetas]."""
+      """Ties QAIA parameters: per-layer values are
+      [gammas_l, etas_l*thetas]."""
       etas, thetas, gammas = inputs
       classical_params = etas[:, None] * thetas[None, :]  # [L, C]
       return jnp.concatenate([gammas, classical_params], axis=1).reshape([-1])

@@ -9,7 +9,6 @@ the array-native IR.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 from qhbmlib_tpu.ops import circuit_ir as ir
 

@@ -11,4 +11,5 @@ from qhbmlib_tpu.ops import shift
 from qhbmlib_tpu.ops import statevector
 
 from qhbmlib_tpu.ops.circuit_ir import Circuit, CircuitBuilder, Gate
-from qhbmlib_tpu.ops.paulis import PauliSum, pauli_string, pauli_sum_from_strings
+from qhbmlib_tpu.ops.paulis import (PauliSum, pauli_string,
+                                    pauli_sum_from_strings)

@@ -184,7 +184,8 @@ def _seq_barrier(a, lam, grad_terms, start):
 def _bwd(circuit, res, g):
   """g: cotangent [num_terms].  One segment-fused reverse sweep."""
   symbol_values, psi, op = res
-  # lambda = sum_t g_t P_t |psi>; then dE/dtheta_k = 2 Re <lambda|dU_k|psi_{k-1}>
+  # lambda = sum_t g_t P_t |psi>;
+  # then dE/dtheta_k = 2 Re <lambda|dU_k|psi_{k-1}>
   lam = sv.apply_pauli_sum(psi, paulis.PauliSum(op.codes,
                                                 jnp.ones_like(op.coeffs),
                                                 op.num_qubits),

@@ -7,7 +7,8 @@ with a static, hashable gate-sequence structure:
 
   * every gate is a frozen record (kind, qubits, symbol slot, coeff, shift),
   * circuits compose with pure Python (`append`, `inverse`),
-  * parameter binding is a traced array op (angle = coeff * values[slot] + shift),
+  * parameter binding is a traced array op
+    (angle = coeff * values[slot] + shift),
 
 so circuits can be closed over by `jit`ted simulation functions, specialize the
 compiler on circuit structure, and contain no strings or dynamic shapes.
@@ -315,7 +316,8 @@ def exp_pauli_sum(paulisum,
     qubits = [q for q, c in enumerate(paulisum.codes[t]) if c != 0]
     paulis = [c for c in paulisum.codes[t] if c != 0]
     if not qubits:  # identity term: global phase exp(-i*angle*coeff_t)
-      b.add(GPHASE, [], symbol, -coeff * float(coeffs[t]), -shift * float(coeffs[t]))
+      b.add(GPHASE, [], symbol, -coeff * float(coeffs[t]),
+            -shift * float(coeffs[t]))
       continue
     b.prot(qubits, paulis, symbol, coeff * float(coeffs[t]),
            shift * float(coeffs[t]))

@@ -33,7 +33,6 @@ adjoint gradient TFQ's C++ engine provides behind tfq.layers.Expectation
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

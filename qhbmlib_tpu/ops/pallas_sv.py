@@ -38,7 +38,6 @@ at the full-train-step level, benchmarks/RESULTS.md).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

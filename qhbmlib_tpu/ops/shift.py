@@ -24,7 +24,8 @@ import numpy as np
 from qhbmlib_tpu.ops import circuit_ir as ir
 
 
-def shift_plan(circuit: ir.Circuit) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def shift_plan(
+    circuit: ir.Circuit) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
   """Static plan for parameter-shift gradients of a circuit.
 
   Returns:

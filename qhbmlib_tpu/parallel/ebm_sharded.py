@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 try:
   from jax import shard_map  # jax >= 0.8
 except ImportError:  # pragma: no cover

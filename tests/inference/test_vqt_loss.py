@@ -1,4 +1,5 @@
-"""Tests for the VQT loss (analog of reference tests/inference/vqt_loss_test.py)."""
+"""Tests for the VQT loss (analog of reference
+tests/inference/vqt_loss_test.py)."""
 
 import numpy as np
 

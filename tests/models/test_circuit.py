@@ -1,4 +1,5 @@
-"""Tests for circuit models (analog of reference tests/models/circuit_test.py)."""
+"""Tests for circuit models (analog of reference
+tests/models/circuit_test.py)."""
 
 import numpy as np
 import pytest

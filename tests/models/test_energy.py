@@ -176,7 +176,8 @@ class TestGeneralBitstringEnergy:
 
   def test_get_set_weights_keras_parity(self):
     """Weights move via get/set_weights like the reference's Keras models
-    (reference baselines/train.py:283-284, tests/inference/qmhl_loss_test.py:63)."""
+    (reference baselines/train.py:283-284,
+    tests/inference/qmhl_loss_test.py:63)."""
     src = models.KOBE([0, 1, 2], 2, nn.RandomUniform(-2, 2, seed=3))
     dst = models.KOBE([0, 1, 2], 2, nn.RandomUniform(-2, 2, seed=4))
     dst.set_weights(src.get_weights())

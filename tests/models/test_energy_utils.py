@@ -1,4 +1,5 @@
-"""Tests of models.energy_utils (mirrors reference tests/models/energy_utils_test.py)."""
+"""Tests of models.energy_utils (mirrors reference
+tests/models/energy_utils_test.py)."""
 
 import itertools
 

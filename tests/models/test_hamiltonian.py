@@ -1,4 +1,5 @@
-"""Tests of models.hamiltonian (mirrors reference tests/models/hamiltonian_test.py)."""
+"""Tests of models.hamiltonian (mirrors reference
+tests/models/hamiltonian_test.py)."""
 
 import jax.numpy as jnp
 import numpy as np

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from qhbmlib_tpu.models import circuit_utils
-from qhbmlib_tpu.ops import adjoint, pallas_adjoint, pallas_sv, paulis
+from qhbmlib_tpu.ops import adjoint, pallas_adjoint, paulis
 from qhbmlib_tpu.ops import statevector as sv
 
 

@@ -221,7 +221,8 @@ def test_shared_symbols_append_remaps_slots():
   assert combined.symbol_names == ("a", "b")
   values = jnp.asarray([0.7, 0.3], jnp.float32)
   u = np.asarray(sv.unitary(combined, values))
-  expected = oracle_unitary(b2.build(), np.asarray([0.7, 0.3])) @ oracle_unitary(
+  expected = oracle_unitary(
+      b2.build(), np.asarray([0.7, 0.3])) @ oracle_unitary(
       b1.build(), np.asarray([0.7]))
   np.testing.assert_allclose(u, expected, atol=1e-5)
 
@@ -231,7 +232,8 @@ def test_pauli_sum_expectation_matches_dense():
   circuit = random_circuit(n, 2, seed=5)
   values = jnp.asarray(RNG.uniform(-2, 2, circuit.num_symbols), jnp.float32)
   op = paulis.pauli_sum_from_strings(
-      n, [(0.5, {0: "X", 1: "Y"}), (-1.2, {2: "Z"}), (0.7, {0: "Z", 1: "Z", 2: "X"})])
+      n, [(0.5, {0: "X", 1: "Y"}), (-1.2, {2: "Z"}),
+          (0.7, {0: "Z", 1: "Z", 2: "X"})])
   state = sv.simulate(circuit, values)
   actual = float(sv.expectation(state, op))
   psi = np.asarray(state).reshape(-1)
@@ -482,3 +484,47 @@ class TestPlanarMatmuls:
       got = jax.jit(fn)()
       np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                  atol=1e-5, err_msg=name)
+
+
+class TestBf16StatePlanes:
+  """QHBM_STATE_DTYPE=bf16: bfloat16 (re, im) planes threaded between a 1q
+  segment's chained contractions (opt-in bandwidth mode; see
+  statevector._bf16_state_enabled).  Must match the complex path to bf16
+  rounding on forward states, expectations, and adjoint gradients."""
+
+  def test_segment_and_adjoint_match_to_bf16_rounding(self, monkeypatch):
+    from qhbmlib_tpu.models import circuit_utils
+    from qhbmlib_tpu.ops import adjoint, paulis
+    n = 10
+    circ = circuit_utils.hardware_efficient_ansatz(n, 2)
+    vals = jnp.asarray(
+        np.random.RandomState(5).uniform(0, 2, circ.num_symbols),
+        jnp.float32)
+    op = paulis.tfim_1d(n)
+    bits = jnp.asarray(
+        np.random.RandomState(6).randint(0, 2, (3, n)), jnp.int8)
+
+    def measure():
+      state = jax.jit(lambda v: sv.simulate(circ, v))(vals)
+
+      def f(v):
+        return jnp.sum(adjoint.batched_expectations(circ, v, bits, (op,)))
+
+      val, grad = jax.value_and_grad(jax.jit(f))(vals)
+      return np.asarray(state), float(val), np.asarray(grad)
+
+    monkeypatch.delenv("QHBM_STATE_DTYPE", raising=False)
+    st0, val0, grad0 = measure()
+    monkeypatch.setenv("QHBM_STATE_DTYPE", "bf16")
+    st1, val1, grad1 = measure()
+    # bf16 has 8 mantissa bits: ~4e-3 relative per rounding, a few chained.
+    np.testing.assert_allclose(st1, st0, atol=5e-2)
+    assert np.linalg.norm(st1 - st0) / np.linalg.norm(st0) < 2e-2
+    np.testing.assert_allclose(val1, val0, atol=5e-2)
+    rel = np.linalg.norm(grad1 - grad0) / max(np.linalg.norm(grad0), 1e-12)
+    assert rel < 5e-2, rel
+    # And it is OFF by default: the baseline run must be exactly the
+    # unmodified complex path (guard against the flag leaking).
+    monkeypatch.delenv("QHBM_STATE_DTYPE", raising=False)
+    st2, _, _ = measure()
+    np.testing.assert_array_equal(st2, st0)

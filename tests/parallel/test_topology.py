@@ -5,7 +5,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from qhbmlib_tpu import parallel
 from qhbmlib_tpu.parallel import sharded_sv, topology
 from qhbmlib_tpu.models import circuit_utils
 from qhbmlib_tpu.ops import statevector as sv

@@ -16,7 +16,6 @@ import numpy as np
 from qhbmlib_tpu import models, nn
 from qhbmlib_tpu.inference import ebm, qnn, qhbm
 from qhbmlib_tpu.models import circuit_utils
-from qhbmlib_tpu.ops import circuit_ir as ir
 from qhbmlib_tpu.ops import paulis
 
 
