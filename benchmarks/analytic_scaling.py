@@ -1,0 +1,157 @@
+"""Scaling + tiering probe for the sharded ANALYTIC engine.
+
+Two measurements on the virtual CPU mesh (shape-informative even though
+all "devices" share host cores -- see sampled_scaling.py):
+
+  1. Tiering A/B at fixed device count: the round-4 tiered
+     `expectation_terms_local` (one dense-tiered local pass for
+     global-diagonal terms + one ppermute per distinct global-XOR mask)
+     vs the round-3 per-term path (one full local state pass + stacked
+     psum per term), on the same simulated state.  Reports ms/eval and
+     the compiled collective-permute counts for both.
+
+  2. Scaling curve: ms per full value+grad of `batched_expectations`
+     (adjoint through the sharded state) at state=1/2/4/8 devices.
+
+Each device count needs a fresh backend, so the parent spawns children:
+
+  python -m benchmarks.analytic_scaling [--qubits 16] [--iters 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _legacy_expectation_terms_local(local, op, k, axis_name):
+  """The pre-round-4 per-term path, kept here as the A/B baseline."""
+  import jax
+  import jax.numpy as jnp
+
+  from qhbmlib_tpu.parallel import sharded_sv
+
+  flat = local.reshape(-1).conj()
+  vals = []
+  for t in range(op.num_terms):
+    p_state = sharded_sv.apply_pauli_string_local(local, op.codes[t], k,
+                                                  axis_name)
+    vals.append(jnp.real(jnp.sum(flat * p_state.reshape(-1))))
+  return jax.lax.psum(jnp.stack(vals), axis_name)
+
+
+def child(n_qubits, iters):
+  import jax
+
+  jax.config.update("jax_platforms", "cpu")
+  import jax.numpy as jnp
+  import numpy as np
+  from jax.sharding import PartitionSpec as P
+  try:
+    from jax import shard_map
+  except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+  from qhbmlib_tpu import parallel
+  from qhbmlib_tpu.models import circuit_utils
+  from qhbmlib_tpu.ops import adjoint, paulis
+  from qhbmlib_tpu.parallel import mesh as mesh_lib, sharded_sv
+
+  n_dev = len(jax.devices())
+  k = n_dev.bit_length() - 1
+  mesh = parallel.make_mesh(data=1, state=n_dev)
+  circuit = circuit_utils.hardware_efficient_ansatz(n_qubits, 2)
+  target = paulis.tfim_1d(n_qubits)
+  values = jnp.asarray(
+      np.random.RandomState(0).uniform(0, 2, circuit.num_symbols),
+      jnp.float32)
+  bits = jnp.asarray(
+      np.random.RandomState(1).randint(0, 2, (2, n_qubits)), jnp.int8)
+
+  # -- tiering A/B: forward expectation over a fixed evolved state ----------
+  def make_exp(fn):
+    def run(vals):
+      def body(v):
+        local = sharded_sv.basis_state_local(
+            n_qubits, k, jnp.zeros([n_qubits], jnp.int8),
+            mesh_lib.STATE_AXIS)
+        local = sharded_sv.apply_circuit_local(circuit, v, local, k,
+                                               mesh_lib.STATE_AXIS)
+        return fn(local, target, k, mesh_lib.STATE_AXIS)
+      return shard_map(body, mesh=mesh, in_specs=P(), out_specs=P())(vals)
+    return jax.jit(run)
+
+  def time_fn(run, arg):
+    jax.block_until_ready(run(arg))
+    best = 1e9
+    for r in range(3):
+      t0 = time.perf_counter()
+      outs = [run(arg + 1e-5 * i + 1e-4 * r) for i in range(iters)]
+      jax.block_until_ready(outs)
+      best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+  def permutes(run, arg):
+    return run.lower(arg).compile().as_text().count("collective-permute(")
+
+  tiered = make_exp(sharded_sv.expectation_terms_local)
+  legacy = make_exp(_legacy_expectation_terms_local)
+  out = {
+      "devices": n_dev,
+      "tiered_ms": round(time_fn(tiered, values), 2),
+      "legacy_ms": round(time_fn(legacy, values), 2),
+      "tiered_permutes": permutes(tiered, values),
+      "legacy_permutes": permutes(legacy, values),
+  }
+
+  # -- scaling: full value+grad of the sharded adjoint path -----------------
+  def loss(v):
+    return jnp.sum(sharded_sv.batched_expectations(circuit, v, bits,
+                                                   (target,), mesh))
+
+  if n_dev == 1:
+    def loss(v):  # noqa: F811 - degenerate mesh uses the dense engine
+      return jnp.sum(adjoint.batched_expectations(circuit, v, bits,
+                                                  (target,)))
+  step = jax.jit(jax.value_and_grad(loss))
+  out["grad_ms"] = round(time_fn(step, values), 2)
+  print(json.dumps(out))
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--qubits", type=int, default=16)
+  p.add_argument("--iters", type=int, default=4)
+  p.add_argument("--child", action="store_true")
+  args = p.parse_args()
+  if args.child:
+    child(args.qubits, args.iters)
+    return
+
+  rows = []
+  for d in (1, 2, 4, 8):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={d}")
+    out = subprocess.run(
+        [sys.executable, "-m", "benchmarks.analytic_scaling", "--child",
+         f"--qubits={args.qubits}", f"--iters={args.iters}"],
+        env=env, capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if out.returncode != 0:
+      print(f"devices={d} FAILED:\n{out.stderr[-1500:]}", file=sys.stderr)
+      continue
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    rows.append(row)
+    print(f"devices={row['devices']}: tiered {row['tiered_ms']} ms "
+          f"({row['tiered_permutes']} permutes) vs legacy "
+          f"{row['legacy_ms']} ms ({row['legacy_permutes']} permutes); "
+          f"value+grad {row['grad_ms']} ms", file=sys.stderr)
+  print(json.dumps({"qubits": args.qubits, "rows": rows}))
+
+
+if __name__ == "__main__":
+  sys.exit(main())

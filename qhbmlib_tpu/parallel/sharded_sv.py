@@ -274,6 +274,67 @@ def _apply_1q_segment_sharded(seg_gates, seg_angles, local: jnp.ndarray,
   return local
 
 
+def _diag_triples_sharded(seg_gates, local_shape, k):
+  """Walsh triples of a diagonal segment with ORIGINAL qubit numbering,
+  split into (coeffs, global_masks, row_masks, col_masks, owner) for the
+  sharded [R, C] local block.
+
+  Works through the dense `diag_segment_triples` on the full-index layout
+  [global bits | local rows | cols]: global qubits are the TOP bits of the
+  basis index by construction, so a full-layout row mask's high bits ARE
+  the device-bit mask."""
+  r, c = local_shape
+  nr = int(r).bit_length() - 1
+  m = int(c).bit_length() - 1
+  coeffs, rms, cms, owner = sv.diag_segment_triples(seg_gates, k + nr, m)
+  gms = [rm >> nr for rm in rms]
+  rms_local = [rm & ((1 << nr) - 1) for rm in rms]
+  return coeffs, gms, rms_local, cms, owner
+
+
+def _apply_diag_segment_sharded(seg_gates, seg_angles, local: jnp.ndarray,
+                                k: int, axis_name: str) -> jnp.ndarray:
+  """A run of diagonal gates that may touch global qubits: ONE fused phase
+  pass over the local block (zero collectives -- diagonals never mix
+  amplitudes across devices).  Global bits contribute per-device +-1 signs
+  folded into the parity weights; everything else is the dense engine's
+  chunked parity-sign matmul build."""
+  r, c = local.shape
+  coeffs, gms, rms, cms, owner = _diag_triples_sharded(seg_gates,
+                                                       local.shape, k)
+  idx = jax.lax.axis_index(axis_name)
+  signs = _device_signs(idx, gms)  # [K]; mask 0 -> +1
+  weighted = [coeffs[j] * signs[j] * jnp.asarray(seg_angles[owner[j]],
+                                                 jnp.float32)
+              for j in range(len(coeffs))]
+  total = sv.parity_outer_sum(weighted, rms, cms, (r, c))
+  return local * jnp.exp(1j * total.astype(COMPLEX_DTYPE))
+
+
+def _bwd_diag_segment_sharded(seg_gates, seg_angles, grad_terms, a, lam, k,
+                              axis_name):
+  """Backward through a diagonal run touching global qubits (sharded
+  analog of ops/adjoint.py _bwd_diag_segment): per-gate gradients are
+  per-device partial bilinear reductions (the caller's stacked psum
+  completes them), and the un-apply is one shared phase multiply."""
+  w = jnp.imag(jnp.conj(lam) * a)
+  coeffs, gms, rms, cms, owner = _diag_triples_sharded(seg_gates, a.shape, k)
+  per_factor = sv.parity_bilinear(rms, cms, w)
+  idx = jax.lax.axis_index(axis_name)
+  signs = _device_signs(idx, gms)
+  for g_idx, gate in enumerate(seg_gates):
+    if gate.slot >= 0:
+      dangle = -2.0 * sum(coeffs[j] * signs[j] * per_factor[j]
+                          for j in range(len(owner)) if owner[j] == g_idx)
+      grad_terms.append((gate.slot, gate.coeff * dangle))
+  neg = [-jnp.asarray(a_j, jnp.float32) for a_j in seg_angles]
+  weighted = [coeffs[j] * signs[j] * neg[owner[j]]
+              for j in range(len(coeffs))]
+  total = sv.parity_outer_sum(weighted, rms, cms, a.shape)
+  phase = jnp.exp(1j * total.astype(COMPLEX_DTYPE))
+  return a * phase, lam * phase
+
+
 def apply_circuit_local(circuit: ir.Circuit, symbol_values: jnp.ndarray,
                         local: jnp.ndarray, k: int, axis_name: str,
                         angle_offsets: Optional[jnp.ndarray] = None
@@ -302,6 +363,9 @@ def apply_circuit_local(circuit: ir.Circuit, symbol_values: jnp.ndarray,
     elif cls == "1q":
       local = _apply_1q_segment_sharded([gates[i] for i in idxs], seg_angles,
                                         local, k, axis_name)
+    elif cls == "diag" and len(idxs) > 1:
+      local = _apply_diag_segment_sharded([gates[i] for i in idxs],
+                                          seg_angles, local, k, axis_name)
     else:
       for j, i in enumerate(idxs):
         local = apply_gate_local(gates[i], seg_angles[j], local, k, axis_name)
@@ -591,6 +655,10 @@ def _term_expectations_bwd_local(circuit, values, bits, big_op, g, k,
     elif cls == "1q":
       a, lam = _bwd_1q_segment_sharded([gates[i] for i in idxs], seg_angles,
                                        grad_terms, a, lam, k, axis_name)
+    elif cls == "diag" and len(idxs) > 1:
+      a, lam = _bwd_diag_segment_sharded([gates[i] for i in idxs],
+                                         seg_angles, grad_terms, a, lam, k,
+                                         axis_name)
     else:
       for j, i in reversed(list(enumerate(idxs))):
         gate, angle = gates[i], seg_angles[j]
