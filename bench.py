@@ -746,11 +746,14 @@ def main():
         measure_pauli_expectations(WORKLOADS["20q"]), 1)
   except Exception as e:  # never let the extra kill the headline
     log(f"[bench] expectations/sec measurement failed: {e}")
+  total_to = float(os.environ.get("QHBM_BENCH_TOTAL_TIMEOUT", 4500))
   if (PRECISION == "default"
-      and os.environ.get("QHBM_BENCH_ACCURACY", "1") != "0"):
-    # Accuracy artifact for the bf16 headline (VERDICT r3 task 2): a
-    # same-seed default-vs-highest trajectory/gradient delta plus the f64
-    # oracle forward check.  Failures only drop the extra.
+      and os.environ.get("QHBM_BENCH_ACCURACY", "1") != "0"
+      and total_to - (time.time() - _MAIN_T0) - 120 > 1500):
+    # Accuracy artifact for the bf16 headline: a same-point
+    # default-vs-highest loss/gradient delta plus the f64 oracle forward
+    # check.  Budget-guarded (needs one extra 24q compile, ~250-500s on a
+    # degraded tunnel) and fail-soft: problems only drop the extra.
     try:
       extra.update(measure_precision_accuracy(WORKLOADS["24q"]))
     except Exception as e:
@@ -759,7 +762,6 @@ def main():
       extra.update(measure_oracle_forward_err(WORKLOADS["24q"]))
     except Exception as e:
       log(f"[bench] oracle forward check failed: {e}")
-  total_to = float(os.environ.get("QHBM_BENCH_TOTAL_TIMEOUT", 4500))
   budget_left = total_to - (time.time() - _MAIN_T0) - 120  # parent-start skew
   if (_live_platform() != "cpu"
       and os.environ.get("QHBM_BENCH_28Q", "1") != "0"
