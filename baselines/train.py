@@ -520,6 +520,10 @@ def train_model(qhbm_obj: qhbm.QHBM,
           inner_writer.histogram("inner_loss_grads",
                                  _flat(jax.tree_util.tree_leaves(igrads)),
                                  inner_idx)
+      # Per-outer-step flush: the shared writer must not be less durable
+      # than the per-step writers it replaced -- a crash/kill mid-run keeps
+      # every completed outer step's inner trajectory on disk.
+      inner_writer.flush()
     else:
       raise ValueError(method)
 

@@ -418,7 +418,13 @@ class SampledQuantumInference(QuantumInference):
     `max_count` (a static Python int) bounds the per-state sample axis.  It
     defaults to `int(max(counts))`, which concretizes `counts` -- fine on the
     eager convenience path, impossible under `jit`.  Callers tracing this
-    method must pass `max_count` explicitly.
+    method must pass `max_count` explicitly and it must be an upper bound on
+    every possible runtime count (e.g. the total sample budget): a state
+    whose count exceeds `max_count` would silently receive only `max_count`
+    draws while `mask[i]` marks them all valid, so count-weighted downstream
+    statistics would attribute count[i] weight to fewer samples.  The eager
+    path rejects such a `max_count` outright; under trace the bound cannot
+    be value-checked, so it is the caller's contract.
     """
     initial_states = jnp.asarray(initial_states)
     counts = jnp.asarray(counts)
@@ -429,6 +435,14 @@ class SampledQuantumInference(QuantumInference):
             "`counts` is traced, so the per-state sample axis cannot be "
             "sized from its runtime maximum.")
       max_count = int(jnp.max(counts))
+    elif not isinstance(counts, jax.core.Tracer):
+      actual = int(jnp.max(counts))
+      if int(max_count) < actual:
+        raise ValueError(
+            f"max_count={int(max_count)} is smaller than max(counts)="
+            f"{actual}: the per-state sample axis would silently truncate "
+            "that state's draws. Pass max_count >= max(counts) (e.g. the "
+            "total sample budget).")
     max_count = int(max_count)
     values = self._circuit.resolved_values
     n = self._circuit.num_qubits

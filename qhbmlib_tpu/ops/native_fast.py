@@ -81,6 +81,19 @@ def _load():
             ["g++", *_BUILD_FLAGS, "-o", tmp_path, src],
             check=True, capture_output=True, text=True, timeout=240)
         os.replace(tmp_path, lib_path)
+        # Reap superseded artifacts (old keys from source/flag edits or
+        # other hosts' CPU features, plus the legacy unsuffixed name) so a
+        # long-lived or shared checkout doesn't accumulate dead .so files.
+        # Best-effort: another live process may hold one open (CDLL keeps
+        # the inode mapped, so unlink is still safe on POSIX).
+        import glob
+        for old in glob.glob(
+            os.path.join(os.path.dirname(src), "libfast_sim*.so")):
+          if os.path.abspath(old) != os.path.abspath(lib_path):
+            try:
+              os.unlink(old)
+            except OSError:
+              pass
       finally:
         if os.path.exists(tmp_path):
           os.unlink(tmp_path)

@@ -1039,12 +1039,17 @@ def _bf16_state_enabled() -> bool:
   storage BETWEEN segments stays complex64 -- the win is bounded to
   multi-pass segments and measured at ~4%% of a 24q segment
   (benchmarks/RESULTS.md round-3 table: bf16 planes 2.312 ms vs planar
-  2.419).  Accuracy: rounds the state to 8 mantissa bits per segment;
-  only meaningful under QHBM_MATMUL_PRECISION=default (the contraction
-  itself is 1-pass bf16 there), and gated on the bench's precision
-  accuracy artifact (bench.py measure_precision_accuracy)."""
+  2.419).  Accuracy: rounds the state to 8 mantissa bits per segment,
+  so the mode is honored ONLY under QHBM_MATMUL_PRECISION=default (the
+  contraction itself is 1-pass bf16 there); under 'high'/'highest' the
+  flag is ignored rather than silently rounding a multi-pass-precision
+  request to 8 mantissa bits -- which also keeps the bench's 'highest'
+  accuracy reference (bench.py measure_precision_accuracy, which toggles
+  only QHBM_MATMUL_PRECISION) clean of the very rounding it measures."""
   import os
-  return os.environ.get("QHBM_STATE_DTYPE", "") == "bf16"
+  if os.environ.get("QHBM_STATE_DTYPE", "") != "bf16":
+    return False
+  return os.environ.get("QHBM_MATMUL_PRECISION", "high") == "default"
 
 
 def _apply_block_planes(mat_k: jnp.ndarray, start: int, k: int, re, im):

@@ -41,7 +41,8 @@ class ShardedGibbsWithGradientsInference(ebm.GibbsWithGradientsInference):
                name: Optional[str] = None,
                num_chains: int = 1,
                max_unique_samples: Optional[int] = None,
-               initial_seed=None):
+               initial_seed=None,
+               step_fn=None):
     if chains_axis not in mesh.shape:
       raise ValueError(f"mesh {tuple(mesh.axis_names)} has no axis "
                        f"{chains_axis!r}")
@@ -52,7 +53,7 @@ class ShardedGibbsWithGradientsInference(ebm.GibbsWithGradientsInference):
           f"{chains_axis!r} axis size {d}")
     super().__init__(input_energy, num_expectation_samples,
                      num_burnin_samples, name, num_chains,
-                     max_unique_samples, initial_seed)
+                     max_unique_samples, initial_seed, step_fn)
     self._mesh = mesh
     self._chains_axis = chains_axis
 
@@ -83,8 +84,8 @@ class ShardedGibbsWithGradientsInference(ebm.GibbsWithGradientsInference):
         keys_all = jax.random.split(kk, num_chains)
         keys_me = jax.lax.dynamic_slice_in_dim(keys_all, me * local, local)
         new_state = jax.vmap(
-            lambda kk2, s: ebm.gwg_one_step(e_apply, th, kk2, s))(keys_me,
-                                                                  state)
+            lambda kk2, s: self._step_fn(e_apply, th, kk2, s))(keys_me,
+                                                               state)
         return new_state, new_state
 
       keys = jax.random.split(k, num_steps)

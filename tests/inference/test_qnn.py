@@ -219,6 +219,22 @@ class TestSampledQuantumInference:
     with pytest.raises(ValueError, match="static `max_count`"):
       jax.jit(lambda b, c: q_sampled.sample(b, c))(bits, counts)
 
+  def test_sample_rejects_truncating_max_count(self):
+    """An eager `max_count` below max(counts) would silently draw fewer
+    samples than a state's count while the mask marks them all valid --
+    biased count-weighted statistics downstream.  The eager path (where
+    counts is concrete and the check is free) must reject it."""
+    n = 2
+    circ, q_sampled = _setup(n, seed=18, sampled=True, shots=100)
+    bits = jnp.asarray([[0, 0], [1, 1]], jnp.int8)
+    counts = jnp.asarray([5, 3])
+    with pytest.raises(ValueError, match="truncate"):
+      q_sampled.sample(bits, counts, max_count=4)
+    # An upper bound larger than max(counts) is fine.
+    samples, mask = q_sampled.sample(bits, counts, max_count=8)
+    assert samples.shape == (2, 8, n)
+    np.testing.assert_array_equal(np.asarray(mask).sum(axis=1), [5, 3])
+
   def test_sample_uneven(self):
     """No discrepancy in sample statistics when count entries differ
     (analog of reference qnn_test.py test_sample_uneven)."""

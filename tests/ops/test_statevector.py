@@ -513,10 +513,23 @@ class TestBf16StatePlanes:
       val, grad = jax.value_and_grad(jax.jit(f))(vals)
       return np.asarray(state), float(val), np.asarray(grad)
 
+    # The planes are only honored under 1-pass-bf16 MXU precision (a
+    # 'high'/'highest' request must not be silently rounded to 8 mantissa
+    # bits); measure both runs at 'default' so the comparison isolates the
+    # storage rounding.
+    monkeypatch.setenv("QHBM_MATMUL_PRECISION", "default")
     monkeypatch.delenv("QHBM_STATE_DTYPE", raising=False)
     st0, val0, grad0 = measure()
     monkeypatch.setenv("QHBM_STATE_DTYPE", "bf16")
     st1, val1, grad1 = measure()
+    # Under a multi-pass precision request the flag is ignored entirely.
+    monkeypatch.setenv("QHBM_MATMUL_PRECISION", "highest")
+    st_hp, _, _ = measure()  # QHBM_STATE_DTYPE=bf16 still set
+    monkeypatch.delenv("QHBM_STATE_DTYPE", raising=False)
+    st_hp_ref, _, _ = measure()
+    np.testing.assert_array_equal(st_hp, st_hp_ref)
+    monkeypatch.setenv("QHBM_MATMUL_PRECISION", "default")
+    monkeypatch.setenv("QHBM_STATE_DTYPE", "bf16")
     # bf16 has 8 mantissa bits: ~4e-3 relative per rounding, a few chained.
     np.testing.assert_allclose(st1, st0, atol=5e-2)
     assert np.linalg.norm(st1 - st0) / np.linalg.norm(st0) < 2e-2

@@ -189,3 +189,39 @@ class TestShardedGWG:
     with pytest.raises(ValueError, match="divisible"):
       parallel.ShardedGibbsWithGradientsInference(
           energy, 8, 0, data_mesh, num_chains=3)
+
+  def test_pluggable_step_fn_reaches_sharded_chains(self, data_mesh):
+    """A custom `step_fn` must drive the d>1 sharded path too, not only the
+    d==1 delegation to the dense implementation: an identity kernel freezes
+    every sharded chain, and the custom kernel stays bit-identical between
+    the dense and sharded inferences."""
+    n = 4
+    energy = models.KOBE(list(range(n)), 2)
+    theta = list(energy.trainable_variables)
+    key = jax.random.PRNGKey(40)
+    state0 = jax.random.bernoulli(jax.random.PRNGKey(3), 0.5,
+                                  (16, n)).astype(jnp.int8)
+
+    frozen = parallel.ShardedGibbsWithGradientsInference(
+        energy, 64, 0, data_mesh, num_chains=16, initial_seed=8,
+        step_fn=lambda e_apply, th, k, s: s)
+    samples, final = frozen.run_chains(theta, key, state0, 5)
+    np.testing.assert_array_equal(np.asarray(final), np.asarray(state0))
+    for t in range(5):
+      np.testing.assert_array_equal(np.asarray(samples[t]),
+                                    np.asarray(state0))
+
+    def flip_all(e_apply, th, k, s):
+      del e_apply, th, k
+      return jnp.bitwise_xor(s, jnp.ones_like(s))
+
+    dense = ebm.GibbsWithGradientsInference(
+        energy, 64, num_burnin_samples=0, num_chains=16, initial_seed=8,
+        step_fn=flip_all)
+    sharded = parallel.ShardedGibbsWithGradientsInference(
+        energy, 64, 0, data_mesh, num_chains=16, initial_seed=8,
+        step_fn=flip_all)
+    s_a, f_a = dense.run_chains(theta, key, state0, 4)
+    s_b, f_b = sharded.run_chains(theta, key, state0, 4)
+    np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+    np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
