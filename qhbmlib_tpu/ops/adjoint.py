@@ -57,19 +57,28 @@ def _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam):
   one elementwise weight array serves every gate.  Un-applying the segment
   to `a` and `lam` is a single shared phase multiply.
   """
-  w = jnp.imag(jnp.conj(lam) * a)
-  # One (chunked) bilinear contraction evaluates every gate's mask reduction
-  # at once via the static parity-mask factors.
-  rr, cc = a.shape
-  n = sv.num_qubits_of(a)
-  mm = int(cc).bit_length() - 1
-  coeffs, rms, cms, owner = sv.diag_segment_triples(seg_gates, n - mm, mm)
-  per_factor = sv.parity_bilinear(rms, cms, w)
-  for g_idx, gate in enumerate(seg_gates):
-    if gate.slot >= 0:
-      dangle = -2.0 * sum(coeffs[k] * per_factor[k]
-                          for k in range(len(owner)) if owner[k] == g_idx)
-      grad_terms.append((gate.slot, gate.coeff * dangle))
+  if any(gate.slot >= 0 for gate in seg_gates):
+    w = jnp.imag(jnp.conj(lam) * a)
+    # One (chunked) bilinear contraction evaluates every gradient gate's
+    # mask reduction at once via the static parity-mask factors.  Factors
+    # owned by constant (slot < 0) gates -- e.g. the CZ entangler layers
+    # that dominate a fused diag segment -- are dropped BEFORE the
+    # contraction: parity_bilinear's chunked scan cannot be dead-code
+    # eliminated by XLA, and at 28 qubits each wasted factor chunk is a
+    # full state-sized matmul.  (The un-apply below still uses every gate.)
+    rr, cc = a.shape
+    n = sv.num_qubits_of(a)
+    mm = int(cc).bit_length() - 1
+    coeffs, rms, cms, owner = sv.diag_segment_triples(seg_gates, n - mm, mm)
+    keep = [k for k in range(len(owner)) if seg_gates[owner[k]].slot >= 0]
+    per_factor = sv.parity_bilinear([rms[k] for k in keep],
+                                    [cms[k] for k in keep], w)
+    for g_idx, gate in enumerate(seg_gates):
+      if gate.slot >= 0:
+        dangle = -2.0 * sum(coeffs[keep[j]] * per_factor[j]
+                            for j in range(len(keep))
+                            if owner[keep[j]] == g_idx)
+        grad_terms.append((gate.slot, gate.coeff * dangle))
   total = sv.diag_segment_phase(seg_gates, seg_angles, a.shape)
   phase = jnp.exp(-1j * total.astype(sv.COMPLEX_DTYPE))
   return a * phase, lam * phase
@@ -103,10 +112,7 @@ def _bwd_1q_segment(seg_gates, seg_angles, grad_terms, a, lam):
   if minor_grads:
     kmat = sv.cross_gram(lam, a)  # [C, C]
     for q in minor_grads:
-      pos = q - nr
-      pre, post = 2**pos, 2**(m - pos - 1)
-      kt = kmat.reshape(pre, 2, post, pre, 2, post)
-      g_mats[q] = jnp.einsum("aibajb->ij", kt)
+      g_mats[q] = sv.partial_trace_1q(kmat, m, q - nr)
   for start, k in sv._row_blocks(nr):
     block_grads = sorted(q for q in grad_qubits if start <= q < start + k)
     if not block_grads:
@@ -190,6 +196,7 @@ def _bwd(circuit, res, g):
                                                 jnp.ones_like(op.coeffs),
                                                 op.num_qubits),
                            term_weights=g)
+  grad = None
   if sv._pallas_forward_enabled():
     # Opt-in (QHBM_PALLAS=1): the entire reverse sweep runs as ONE
     # VMEM-resident Pallas kernel on TPU lowerings (measured ~6% faster
@@ -202,12 +209,8 @@ def _bwd(circuit, res, g):
           symbol_values, psi, lam,
           tpu=_ft.partial(pallas_adjoint.adjoint_sweep, circuit),
           default=_ft.partial(_xla_reverse_sweep, circuit, op, g))
-      zero_state = jnp.zeros_like(psi)
-      zero_coeffs = jax.tree_util.tree_map(
-          jnp.zeros_like,
-          paulis.PauliSum(op.codes, op.coeffs, op.num_qubits))
-      return grad, zero_state, zero_coeffs
-  grad = _xla_reverse_sweep(circuit, op, g, symbol_values, psi, lam)
+  if grad is None:
+    grad = _xla_reverse_sweep(circuit, op, g, symbol_values, psi, lam)
   zero_state = jnp.zeros_like(psi)
   zero_coeffs = jax.tree_util.tree_map(
       jnp.zeros_like,

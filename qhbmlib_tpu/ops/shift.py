@@ -89,7 +89,10 @@ def shift_gradient(circuit: ir.Circuit,
   import os
   env = os.environ.get("QHBM_SHIFT_CHUNK")
   if env:
-    chunk = max(1, int(env))
+    # Clamp to the row count like the default branch: an oversized override
+    # would otherwise pad with zero-offset rows that each cost a full
+    # discarded simulation.
+    chunk = max(1, min(offsets.shape[0], int(env)))
   else:
     state_bytes = 8 * 2**circuit.num_qubits
     chunk = max(1, min(offsets.shape[0], (128 << 20) // state_bytes))

@@ -289,6 +289,49 @@ class TestGradients:
     np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_auto),
                                atol=1e-4)
 
+  def test_adjoint_mixed_constant_diag_segment(self):
+    """Fused diag segments mixing constant entanglers (slot < 0, e.g. a CZ
+    brick) with parameterized RZ/ZZP gates: the backward contracts parity
+    factors of ONLY the parameterized gates (the constant gates' factors
+    are dropped before the chunked bilinear -- a 28q perf property), and
+    the gradient still matches autodiff; a segment with zero parameterized
+    gates exercises the skip-entirely branch."""
+    n = 9
+    gates = [ir.Gate(ir.RX, (q,), q, 1.0, 0.0) for q in range(n)]
+    gates += [ir.Gate(ir.CZP, (q, q + 1), -1, 0.0, 1.0) for q in range(n - 1)]
+    gates.append(ir.Gate(ir.RZ, (3,), n, 1.0, 0.0))
+    gates.append(ir.Gate(ir.ZZP, (2, 7), n + 1, 1.0, 0.0))
+    circuit = ir.Circuit(n, tuple(gates),
+                         tuple(f"s{i}" for i in range(n + 2)))
+    values = jnp.asarray(RNG.uniform(-1, 1, n + 2), jnp.float32)
+    op = paulis.tfim_1d(n)
+    init = sv.zero_state(n)
+
+    def f_adj(v):
+      return adjoint.expectation(circuit, v, init, op)
+
+    def f_auto(v):
+      return sv.expectation(sv.apply_circuit(circuit, v, init), op)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f_adj)(values)),
+                               np.asarray(jax.grad(f_auto)(values)),
+                               atol=1e-4)
+
+    # All-constant diag segment: no gradient factors at all, but the
+    # segment un-apply must still be exact for gates before/after it.
+    gates2 = [ir.Gate(ir.RX, (q,), q, 1.0, 0.0) for q in range(n)]
+    gates2 += [ir.Gate(ir.CZP, (q, q + 1), -1, 0.0, 1.0)
+               for q in range(n - 1)]
+    gates2.append(ir.Gate(ir.RX, (0,), n, 1.0, 0.0))
+    circuit2 = ir.Circuit(n, tuple(gates2),
+                          tuple(f"t{i}" for i in range(n + 1)))
+    v2 = values[:n + 1]
+    g_adj = jax.grad(lambda v: adjoint.expectation(circuit2, v, init, op))(v2)
+    g_auto = jax.grad(lambda v: sv.expectation(
+        sv.apply_circuit(circuit2, v, init), op))(v2)
+    np.testing.assert_allclose(np.asarray(g_adj), np.asarray(g_auto),
+                               atol=1e-4)
+
   def test_adjoint_coeff_gradients(self):
     circuit, values, op = self._setup()
     init = sv.zero_state(circuit.num_qubits)
