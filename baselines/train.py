@@ -268,7 +268,10 @@ def make_information_matrix(qhbm_obj: qhbm.QHBM,
               list(unravel_theta(th_flat)), x[None, :])[0])(theta_flat)
       return g
 
-    jac = jax.lax.map(energy_grad, samples)  # [N, Pt]
+    # Batched: the Jacobian is only [N, Pt] (Pt ~ tens of parameters), so a
+    # vmap costs trivial memory; a lax.map here would serialize N tiny grad
+    # kernels inside the jitted step, pure latency on TPU.
+    jac = jax.vmap(energy_grad)(samples)  # [N, Pt]
     centered = jac - jnp.mean(jac, axis=0)
     block_ebm = centered.T @ centered / num_samples
 
@@ -279,8 +282,12 @@ def make_information_matrix(qhbm_obj: qhbm.QHBM,
           "circuit": list(unravel_phi(obs_phi_flat)),
           "energy": list(unravel_theta(obs_theta_flat)),
       }
+      # Thread the sampler state here too: without it a GWG-backed QHBM
+      # would fall back to the trace-time chain snapshot for every shifted
+      # <K_copy> evaluation, biasing the BKM metric from an
+      # un-equilibrated constant chain.
       val, _ = qhbm_obj.expectation_pure(p, k, modular_hamiltonian_copy,
-                                         obs_params)
+                                         obs_params, ebm_state=ebm_state)
       return val[0]
 
     shift = 0.5
@@ -374,14 +381,28 @@ def train_model(qhbm_obj: qhbm.QHBM,
   method = config.training.method
   is_qmhl = evolved_qhbm_data is not None
 
+  # For QMHL the threaded sampler state is the PAIR (data_chain,
+  # model_chain); for VQT it is the model chain alone.  These two helpers
+  # keep every consumer (info matrix, mirror divergence, final persist)
+  # agnostic to which shape is in play.
+  def _model_state(state):
+    return state[1] if is_qmhl else state
+
+  def _with_model_state(state, model_state):
+    return (state[0], model_state) if is_qmhl else model_state
+
   if is_qmhl:
     qmhl_fn = qmhl_loss.make_qmhl(evolved_qhbm_data, qhbm_obj)
     data_params = evolved_qhbm_data.params
 
     def loss_fn(p, k, state):
-      loss, states = qmhl_fn({"model": p, "data": data_params}, k,
-                             (None, state) if state is not None else None)
-      return loss, states[1]
+      # BOTH sampler states are threaded.  Passing None for the data side
+      # would make the jitted step bake the data QHBM's chain (a
+      # never-burned-in random init) in as a compile-time constant: every
+      # step would then estimate <K_model>_data from chains restarted at
+      # the same unequilibrated state -- a persistently biased data
+      # expectation that never improves.
+      return qmhl_fn({"model": p, "data": data_params}, k, state)
   else:
     vqt_fn = vqt_loss.make_vqt(qhbm_obj, target_hamiltonian)
     beta_arr = jnp.asarray(beta, jnp.float32)
@@ -399,7 +420,27 @@ def train_model(qhbm_obj: qhbm.QHBM,
 
   params = qhbm_obj.params
   opt_state = optimizer.init(params)
+  # Eager chain equilibration BEFORE the jitted step loop: jitted steps skip
+  # the fingerprint-based burn-in by design (ebm.py _maybe_burn_in), so
+  # without this the configured model.gwg_burnin would never run in any
+  # training path and the first optimizer updates would consume gradients
+  # estimated from un-equilibrated random-init chains (reference semantics:
+  # _ready_inference burns in before the first inference, reference
+  # ebm.py:734-743).
   ebm_state = getattr(qhbm_obj.e_inference, "chain_state", None)
+  if ebm_state is not None and hasattr(qhbm_obj.e_inference, "burn_in"):
+    key, k_burn = jax.random.split(key)
+    ebm_state = qhbm_obj.e_inference.burn_in(list(params["theta"]), k_burn,
+                                             ebm_state)
+  if is_qmhl:
+    data_qhbm = getattr(evolved_qhbm_data, "qhbm", None)
+    data_e_inf = getattr(data_qhbm, "e_inference", None)
+    data_state = getattr(data_e_inf, "chain_state", None)
+    if data_state is not None and hasattr(data_e_inf, "burn_in"):
+      key, k_burn = jax.random.split(key)
+      data_state = data_e_inf.burn_in(list(data_params["theta"]), k_burn,
+                                      data_state)
+    ebm_state = (data_state, ebm_state)
 
   # Structural copy with distinct circuit symbol names: used as the
   # observable of the BKM information matrix and as the mirror-descent
@@ -426,7 +467,7 @@ def train_model(qhbm_obj: qhbm.QHBM,
     # Pass the advanced sampler state: the info matrix's EBM covariance
     # block continues the equilibrated persistent chain instead of re-running
     # from the trace-time snapshot every step.
-    im = info_matrix_fn(p, k, new_state)
+    im = info_matrix_fn(p, k, _model_state(new_state))
     nat_grads, (reg_im, reg, nat_flat) = natural_solve(im, grads,
                                                        config.training)
     updates, o = optimizer.update(nat_grads, o, p)
@@ -455,7 +496,8 @@ def train_model(qhbm_obj: qhbm.QHBM,
             "target_circuit": [jax.lax.stop_gradient(x)
                                for x in anchor["phi"]],
         }
-        div, new_state = div_fn(div_params, k, jnp.float32(1.0), state)
+        div, new_model_state = div_fn(div_params, k, jnp.float32(1.0),
+                                      _model_state(state))
         euclid = 0.5 * sum(
             jnp.sum((v - jax.lax.stop_gradient(c))**2) for v, c in
             zip(jax.tree_util.tree_leaves(p_),
@@ -463,7 +505,8 @@ def train_model(qhbm_obj: qhbm.QHBM,
         alpha = config.training.euclidean_div_factor
         inner = inner_prod + 1.0 / config.training.learning_rate * (
             (1.0 - alpha) * div + alpha * euclid)
-        return inner, (inner_prod, div, euclid, new_state)
+        return inner, (inner_prod, div, euclid,
+                       _with_model_state(state, new_model_state))
 
       (inner, aux), igrads = jax.value_and_grad(inner_loss_fn,
                                                 has_aux=True)(p)
@@ -588,8 +631,9 @@ def train_model(qhbm_obj: qhbm.QHBM,
   if inner_writer is not None:
     inner_writer.close()
   qhbm_obj.set_params(params)
-  if hasattr(qhbm_obj.e_inference, "_chain_state") and ebm_state is not None:
-    qhbm_obj.e_inference._chain_state = ebm_state
+  final_chain = _model_state(ebm_state) if ebm_state is not None else None
+  if hasattr(qhbm_obj.e_inference, "_chain_state") and final_chain is not None:
+    qhbm_obj.e_inference._chain_state = final_chain
   metrics_writer.flush()
   return params
 
@@ -667,20 +711,26 @@ def run_experiment(config, output_dir: str, seed: int = 42):
         data_point_label = f"time_{str(evolution_time).replace('.', 'p')}"
 
         # Build the evolved data QHBM: previous model + channel circuit
-        # (reference train.py:279-293).
-        prev_mh, prev_qhbm = get_initial_qhbm(target_hamiltonian_shards,
-                                              config, "prev_qhbm")
-        prev_qhbm.set_params(prev_params)
-        channel_circuit = models.QuantumCircuit(
-            iterates[sequence_step], (), [], [], name="channel")
-        evolved_circuit = prev_qhbm.q_inference.circuit + channel_circuit
-        if config.model.qnn == "analytic":
-          evolved_qnn = qnn.AnalyticQuantumInference(evolved_circuit)
-        else:
-          evolved_qnn = qnn.SampledQuantumInference(
-              evolved_circuit, config.training.num_samples)
-        evolved_qhbm = qhbm.QHBM(prev_qhbm.e_inference, evolved_qnn)
-        evolved_qhbm_data = data_module.QHBMData(evolved_qhbm)
+        # (reference train.py:279-293).  Only when training: the evolved
+        # data feeds QMHL optimization and needs the previous step's trained
+        # parameters, which don't exist in the dataset-only mode
+        # (training.train=False) -- the reference likewise builds its data
+        # model inside the train gate (reference train.py:600-607), logging
+        # only the exact target-state metrics otherwise.
+        if config.training.train:
+          prev_mh, prev_qhbm = get_initial_qhbm(target_hamiltonian_shards,
+                                                config, "prev_qhbm")
+          prev_qhbm.set_params(prev_params)
+          channel_circuit = models.QuantumCircuit(
+              iterates[sequence_step], (), [], [], name="channel")
+          evolved_circuit = prev_qhbm.q_inference.circuit + channel_circuit
+          if config.model.qnn == "analytic":
+            evolved_qnn = qnn.AnalyticQuantumInference(evolved_circuit)
+          else:
+            evolved_qnn = qnn.SampledQuantumInference(
+                evolved_circuit, config.training.num_samples)
+          evolved_qhbm = qhbm.QHBM(prev_qhbm.e_inference, evolved_qnn)
+          evolved_qhbm_data = data_module.QHBMData(evolved_qhbm)
 
       if trial == 0:
         dp_writer = MetricsWriter(

@@ -38,15 +38,7 @@ from qhbmlib_tpu.models import energy as energy_model
 DEFAULT_ENUM_BITS = 16
 
 
-def _as_key(seed) -> jax.Array:
-  if seed is None:
-    return jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
-  if isinstance(seed, int):
-    return jax.random.PRNGKey(seed)
-  seed = jnp.asarray(seed)
-  if seed.shape == (2,):
-    return jax.random.wrap_key_data(seed.astype(jnp.uint32))
-  return seed
+_as_key = utils.as_prng_key
 
 
 def categorical_counts(key: jax.Array, logits: jnp.ndarray, num_samples: int,
@@ -424,11 +416,20 @@ def gwg_one_step(energy_apply, theta, key, state: jnp.ndarray) -> jnp.ndarray:
   x_prime = jnp.bitwise_xor(state, flip)
   probs_prime = gwg_index_proposal_probs(energy_apply, theta,
                                          x_prime.astype(jnp.float32))
-  q_ratio = probs_prime[i] / jnp.maximum(probs[i], 1e-38)
+  # Log-space MH acceptance: the linear form min(exp(dE) * q_ratio, 1)
+  # produces inf * 0 = NaN at large energy scales (exp overflows past
+  # dE ~ 88 in f32 exactly when the reverse-proposal prob underflows to 0),
+  # and `u <= NaN` is False -- the chain would deterministically reject
+  # moves it should accept with probability ~1 and freeze.  log u <= log a
+  # is the same decision rule without either overflow.
+  # Floor at 1e-30 (comfortably normal-range): 1e-38 is subnormal in f32
+  # and flushes to zero under XLA's FTZ, which would reintroduce -inf here.
+  log_q_ratio = (jnp.log(jnp.maximum(probs_prime[i], 1e-30)) -
+                 jnp.log(jnp.maximum(probs[i], 1e-30)))
   energies = energy_apply(theta, jnp.stack([x_prime, state]))
-  exp_f = jnp.exp(energies[1] - energies[0])
-  accept_prob = jnp.minimum(exp_f * q_ratio, 1.0)
-  accept = jax.random.uniform(k_accept) <= accept_prob
+  log_accept = jnp.minimum(energies[1] - energies[0] + log_q_ratio, 0.0)
+  u = jnp.maximum(jax.random.uniform(k_accept), 1e-30)
+  accept = jnp.log(u) <= log_accept
   return jnp.where(accept, x_prime, state)
 
 

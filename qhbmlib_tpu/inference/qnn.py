@@ -301,10 +301,9 @@ class SampledQuantumInference(QuantumInference):
     super().__init__(input_circuit, name)
     self.expectation_samples = int(expectation_samples)
     self._update_seed = initial_seed is None
-    self._key = (jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
-                 if initial_seed is None else
-                 (jax.random.PRNGKey(initial_seed)
-                  if isinstance(initial_seed, int) else initial_seed))
+    # Same seed normalization as the EnergyInference family (utils.as_prng_key)
+    # so e.g. a raw uint32[2] key-data seed behaves identically here.
+    self._key = utils.as_prng_key(initial_seed)
     self._plan_cache = {}
 
   def _next_key(self):
@@ -371,6 +370,13 @@ class SampledQuantumInference(QuantumInference):
                        obs_energy_params=None,
                        key=None) -> jnp.ndarray:
     if key is None:
+      if any(isinstance(x, jax.core.Tracer)
+             for x in jax.tree_util.tree_leaves((list(phi), initial_states))):
+        raise ValueError(
+            "expectation_pure under jit requires an explicit `key`: the "
+            "key=None convenience fallback draws from the object's internal "
+            "key stream, which a traced call would bake in as a constant "
+            "(every compiled call re-using identical shot noise).")
       key = self._next_key()
     bits = jnp.asarray(initial_states)
     keys = jax.random.split(key, bits.shape[0])

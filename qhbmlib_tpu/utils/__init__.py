@@ -31,6 +31,23 @@ __all__ = [
 ]
 
 
+def as_prng_key(seed) -> jax.Array:
+  """Normalizes a user seed to a PRNG key.
+
+  Accepts None (fresh random key), a Python int, a raw uint32[2] key-data
+  array, or an already-typed key.  Shared by every inference family so a
+  given seed type behaves identically everywhere (reference seed semantics:
+  qhbmlib/inference/ebm.py:89-123)."""
+  if seed is None:
+    return jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+  if isinstance(seed, int):
+    return jax.random.PRNGKey(seed)
+  seed = jnp.asarray(seed)
+  if seed.shape == (2,):
+    return jax.random.wrap_key_data(seed.astype(jnp.uint32))
+  return seed
+
+
 def bounded_cache_put(cache: dict, key, value, max_entries: int = 64):
   """FIFO-bounded dict insert for id()-keyed caches.
 

@@ -172,6 +172,44 @@ def test_gwg_natural_runs(tmp_path):
   assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
 
 
+def test_qvartz_gwg_runs(tmp_path):
+  """QVARTZ with a GWG EBM: both the DATA-side chain (the evolved QHBM's
+  sampler) and the model-side chain are burned in eagerly and threaded
+  through the jitted QMHL step as real state -- neither may be baked in as
+  a trace-time constant (a random unequilibrated chain would bias
+  <K_model>_data on every step)."""
+  config = _small_config("qvartz", "vanilla", **{
+      "model.ebm": "gwg",
+      "model.gwg_burnin": 20,
+  })
+  results = train.run_experiment(config, str(tmp_path / "qvartz_gwg"),
+                                 seed=7)
+  labels = sorted(os.listdir(os.path.join(results, "metrics")))
+  assert sum(l.startswith("time_") for l in labels) == 2
+  losses = _read_metrics(results, "time_1p5", "loss")
+  assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
+def test_qvartz_dataset_only_mode(tmp_path):
+  """training.train=False ('only simulate the dataset', reference
+  config.py:52-53): the QVARTZ sequence must walk every time step logging
+  exact target metrics without building the (training-only) evolved data
+  model -- this used to crash on set_params(None) at the second step."""
+  config = _small_config("qvartz", "vanilla", **{"training.train": False})
+  results = train.run_experiment(config, str(tmp_path / "nodata"), seed=8)
+  labels = sorted(os.listdir(os.path.join(results, "metrics")))
+  assert sum(l.startswith("time_") for l in labels) == 2
+  for label in labels:
+    path = os.path.join(results, "metrics", label, "data_point",
+                        "metrics.jsonl")
+    with open(path) as f:
+      tags = [json.loads(line)["tag"] for line in f]
+    assert "target_entropy" in tags
+    # No training artifacts in dataset-only mode.
+    assert not os.path.isdir(
+        os.path.join(results, "metrics", label, "train_model_trial_0"))
+
+
 def test_kill_and_resume(tmp_path, monkeypatch):
   """An interrupted QVARTZ sequence resumes from the latest checkpoint:
   finished data points are restored (not retrained) and the sequence

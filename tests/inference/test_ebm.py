@@ -408,6 +408,26 @@ class TestGWGKernel:
                                  - state.astype(jnp.int32)))) == 1
       state = new
 
+  def test_extreme_energy_scale_chain_still_moves(self):
+    """MH acceptance at energy gaps past the f32 exp range: the linear form
+    min(exp(dE) * q_ratio, 1) evaluates inf * 0 = NaN there (exp overflows
+    exactly when the reverse-proposal prob underflows), and `u <= NaN` is
+    False -- the chain would deterministically reject near-certain downhill
+    moves and freeze at the worst state.  The log-space rule must walk a
+    gap-200 landscape straight to its mode."""
+    n = 4
+    energy = models.BernoulliEnergy(list(range(n)), nn.Constant(100.0))
+    theta = energy.trainable_variables
+    apply_fn = lambda th, bits: energy.apply_flat(th, bits)
+    # E(x) = 100 * sum(1 - 2x): all-zeros is the highest-energy state, each
+    # flip to 1 lowers E by 200 and must be accepted w.p. ~1.
+    state = jnp.zeros([n], jnp.int8)
+    key = jax.random.PRNGKey(3)
+    for _ in range(4 * n):
+      key, sub = jax.random.split(key)
+      state = ebm.gwg_one_step(apply_fn, theta, sub, state)
+    np.testing.assert_array_equal(np.asarray(state), np.ones([n], np.int8))
+
   def test_one_step_seeded_deterministic(self):
     n = 4
     energy = _random_kobe(n, seed=15)
