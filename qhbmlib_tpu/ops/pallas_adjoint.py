@@ -95,6 +95,9 @@ def _prepare_backward(circuit: ir.Circuit, angles, shape_rc,
       minor_inv = None
       major_inv = {}
       mg_entries = []  # (qubit, slot, coeff, mg 2x2 complex traced)
+      hp = jax.lax.Precision.HIGHEST  # tiny operator folds: always exact,
+      # mirroring ops/adjoint.py `_bwd_1q_segment` (bf16 rounding here
+      # would bias every gradient the fold feeds, deterministically).
       for q in sorted(by_qubit):
         chain = by_qubit[q]
         suffix = jnp.eye(2, dtype=sv.COMPLEX_DTYPE)
@@ -104,13 +107,17 @@ def _prepare_backward(circuit: ir.Circuit, angles, shape_rc,
             ang = jnp.asarray(angle, jnp.float32)
             _, dmat = jax.jvp(lambda t, kind=gate.kind: sv.gate_matrix(
                 kind, t), (ang,), (jnp.ones_like(ang),))
-            mg = suffix @ dmat @ jnp.conj(mat.T) @ jnp.conj(suffix.T)
+            mg = jnp.matmul(
+                jnp.matmul(jnp.matmul(suffix, dmat, precision=hp),
+                           jnp.conj(mat.T), precision=hp),
+                jnp.conj(suffix.T), precision=hp)
             mg_entries.append((q, gate.slot, gate.coeff, mg))
-          suffix = suffix @ mat
+          suffix = jnp.matmul(suffix, mat, precision=hp)
         v_inv = jnp.conj(suffix.T)
         if q >= nr:
           emb = sv._embed_minor_mat(v_inv, (q - nr,), m)
-          minor_inv = emb if minor_inv is None else emb @ minor_inv
+          minor_inv = (emb if minor_inv is None
+                       else jnp.matmul(emb, minor_inv, precision=hp))
         else:
           major_inv[q] = v_inv
 
@@ -122,8 +129,9 @@ def _prepare_backward(circuit: ir.Circuit, angles, shape_rc,
         needs_grad = any(start <= q < start + k for q in grad_qubits)
         if folded is None and not needs_grad:
           continue
-        if folded is None:
-          folded = jnp.eye(2**k, dtype=sv.COMPLEX_DTYPE)
+        # needs_grad implies a grad qubit inside this row block, and every
+        # grad qubit (< nr) has a major_inv entry, so folded is non-None
+        # whenever we get here.
         blocks.append((start, k, needs_grad))
         block_ins.append((jnp.real(folded).astype(jnp.float32),
                           jnp.imag(folded).astype(jnp.float32)))
@@ -408,12 +416,8 @@ def _assemble_grads(plan, outputs, t_count, c, symbol_values):
             k_re, k_im = kmat
             kr = k_re[t] if t_count > 1 else k_re
             ki = k_im[t] if t_count > 1 else k_im
-            pos = q - nr
-            pre, post = 2**pos, 2**(m - pos - 1)
-            kt_r = kr.reshape(pre, 2, post, pre, 2, post)
-            kt_i = ki.reshape(pre, 2, post, pre, 2, post)
-            g_re = jnp.einsum("aibajb->ij", kt_r)
-            g_im = jnp.einsum("aibajb->ij", kt_i)
+            g_re = sv.partial_trace_1q(kr, m, q - nr)
+            g_im = sv.partial_trace_1q(ki, m, q - nr)
           else:
             (start, k) = next((s, kk) for (s, kk, ng) in blocks
                               if ng and s <= q < s + kk)
@@ -445,20 +449,19 @@ def _assemble_grads(plan, outputs, t_count, c, symbol_values):
   return jnp.zeros_like(symbol_values).at[slots].add(contribs)
 
 
-def adjoint_sweep(circuit: ir.Circuit,
-                  symbol_values: jnp.ndarray,
-                  psi: jnp.ndarray,
-                  lam: jnp.ndarray,
-                  interpret: bool = False) -> jnp.ndarray:
-  """values_bar [num_symbols] from the VMEM-resident reverse sweep."""
-  r, c = psi.shape
-  angles = [sv.resolve_angle(gate, symbol_values) for gate in circuit.gates]
-  descs, inputs, plan = _prepare_backward(circuit, angles, (r, c))
+def _merge_period_plan(descs, inputs, plan):
+  """Collapses a layered circuit's repeated per-period plan entries.
+
+  Reversed-order layer t in the kernel maps to plan entry
+  t*per_period + j: per-layer traced inputs are stacked along a leading t
+  axis and per-layer mg/coeff assembly data is kept under a "per_t" list.
+  Shared by `adjoint_sweep` and `adjoint_sweep_batched` so the subtle merge
+  logic has exactly one implementation.
+
+  Returns (descs, inputs, plan, per_period, t_count).
+  """
   per_period, t_count = pallas_sv._find_period(descs)
   if t_count > 1:
-    # Per-layer assembly data: reversed-order layer t in the kernel maps to
-    # plan entry t*per_period + j.  Stack per-layer traced inputs and keep
-    # per-layer mg/coeff data for assembly.
     period_plan = []
     for j in range(per_period):
       kind, info0 = plan[j]
@@ -471,6 +474,20 @@ def adjoint_sweep(circuit: ir.Circuit,
     descs = descs[:per_period]
   else:
     inputs = pallas_sv._flatten_inputs(inputs, per_period, 1)
+  return descs, inputs, plan, per_period, t_count
+
+
+def adjoint_sweep(circuit: ir.Circuit,
+                  symbol_values: jnp.ndarray,
+                  psi: jnp.ndarray,
+                  lam: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+  """values_bar [num_symbols] from the VMEM-resident reverse sweep."""
+  r, c = psi.shape
+  angles = [sv.resolve_angle(gate, symbol_values) for gate in circuit.gates]
+  descs, inputs, plan = _prepare_backward(circuit, angles, (r, c))
+  descs, inputs, plan, per_period, t_count = _merge_period_plan(
+      descs, inputs, plan)
 
   out_shapes = _out_shapes_for(descs, r, c, t_count)
   num_out = len(out_shapes)
@@ -539,20 +556,8 @@ def adjoint_sweep_batched(circuit: ir.Circuit,
   angles = [sv.resolve_angle(gate, symbol_values) for gate in circuit.gates]
   descs, inputs, plan = _prepare_backward(circuit, angles, (r, c),
                                           rot_planes=True)
-  per_period, t_count = pallas_sv._find_period(descs)
-  if t_count > 1:
-    period_plan = []
-    for j in range(per_period):
-      kind, info0 = plan[j]
-      per_t_list = [plan[t * per_period + j][1] for t in range(t_count)]
-      merged = dict(info0)
-      merged["per_t"] = per_t_list
-      period_plan.append((kind, merged))
-    plan = period_plan
-    inputs = pallas_sv._flatten_inputs(inputs, per_period, t_count)
-    descs = descs[:per_period]
-  else:
-    inputs = pallas_sv._flatten_inputs(inputs, per_period, 1)
+  descs, inputs, plan, per_period, t_count = _merge_period_plan(
+      descs, inputs, plan)
 
   per_state_shapes = _out_shapes_for(descs, r, c, t_count)
   num_out = len(per_state_shapes)

@@ -104,14 +104,20 @@ def _prepare_segments(circuit: ir.Circuit, angles, shape_rc):
             sv.gate_matrix(gate.kind, angle))
       minor_combined = None
       major_by_qubit = {}
+      hp = jax.lax.Precision.HIGHEST
       for q in sorted(by_qubit):
         mat = by_qubit[q][0]
         for nxt in by_qubit[q][1:]:
-          mat = nxt @ mat
+          # Operator folds run EXACT regardless of QHBM_MATMUL_PRECISION --
+          # same hardening as the XLA path (statevector._apply_1q_segment):
+          # bf16 rounding here biases the combined operator
+          # deterministically, and the fold costs nothing.
+          mat = jnp.matmul(nxt, mat, precision=hp)
         if q >= nr:
           emb = sv._embed_minor_mat(mat, (q - nr,), m)
           minor_combined = (emb if minor_combined is None
-                            else emb @ minor_combined)
+                            else jnp.matmul(emb, minor_combined,
+                                            precision=hp))
         else:
           major_by_qubit[q] = mat
       for start, k in sv._row_blocks(nr):

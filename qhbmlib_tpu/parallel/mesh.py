@@ -32,8 +32,12 @@ def make_mesh(data: int = 1,
     state: size of the amplitude-sharding axis (power of two).
     devices: devices to use; defaults to `jax.devices()[:data * state]`.
   """
-  if state & (state - 1):
+  # `state < 1` must be checked explicitly: 0 & -1 == 0 slips through the
+  # power-of-two test and would build a zero-device mesh.
+  if state < 1 or state & (state - 1):
     raise ValueError(f"state axis size must be a power of 2, got {state}")
+  if data < 1:
+    raise ValueError(f"data axis size must be >= 1, got {data}")
   n = data * state
   if devices is None:
     avail = jax.devices()

@@ -42,8 +42,17 @@ class ShardedQuantumInference(qnn.QuantumInference):
     """
     super().__init__(input_circuit, name)
     self._mesh = mesh
-    self._data_axis = data_axis if (data_axis and
-                                    mesh.shape.get(data_axis, 1) > 1) else None
+    # A named-but-absent axis is a caller error (a typo would otherwise
+    # silently disable data parallelism and run the batch fully replicated);
+    # only an axis of size 1 legitimately collapses to None.
+    if data_axis is not None and data_axis not in mesh.shape:
+      raise ValueError(f"mesh {tuple(mesh.axis_names)} has no axis "
+                       f"{data_axis!r}")
+    if state_axis not in mesh.shape:
+      raise ValueError(f"mesh {tuple(mesh.axis_names)} has no axis "
+                       f"{state_axis!r}")
+    self._data_axis = data_axis if (data_axis is not None and
+                                    mesh.shape[data_axis] > 1) else None
     self._state_axis = state_axis
 
   @property

@@ -100,8 +100,10 @@ def ici_mesh(data: int = 1,
   per-gate `ppermute` partner exchanges then use nearest-neighbor links.
   Falls back to the flat ordering off-TPU (CPU test meshes).
   """
-  if state & (state - 1):
+  if state < 1 or state & (state - 1):
     raise ValueError(f"state axis size must be a power of 2, got {state}")
+  if data < 1:
+    raise ValueError(f"data axis size must be >= 1, got {data}")
   if devices is None:
     devices = jax.devices()
   n = data * state
@@ -110,7 +112,17 @@ def ici_mesh(data: int = 1,
   try:
     dev_array = mesh_utils.create_device_mesh((data, state),
                                               devices=list(devices)[:n])
-  except Exception:  # non-TPU platforms without topology info
+  except Exception as e:  # non-TPU platforms without topology info
+    # Loud fallback: on a real TPU slice, losing ICI-aware placement means
+    # every 'state'-axis partner exchange may ride non-adjacent links --
+    # the exact degradation this constructor exists to prevent.
+    if any(getattr(d, "platform", "") == "tpu" for d in list(devices)[:n]):
+      import warnings
+      warnings.warn(
+          f"mesh_utils.create_device_mesh failed on TPU devices ({e!r}); "
+          "falling back to FLAT device ordering -- 'state'-axis ppermute "
+          "exchanges may not ride nearest-neighbor ICI links.",
+          RuntimeWarning, stacklevel=2)
     dev_array = np.asarray(list(devices)[:n]).reshape(data, state)
   return Mesh(dev_array, (mesh_lib.DATA_AXIS, mesh_lib.STATE_AXIS))
 
@@ -125,6 +137,11 @@ def dcn_mesh(replica: int,
   stay intra-slice on ICI.  Requires a multi-slice environment (device
   attribute `slice_index`); raises otherwise.
   """
+  if state < 1 or state & (state - 1):
+    raise ValueError(f"state axis size must be a power of 2, got {state}")
+  if data < 1 or replica < 1:
+    raise ValueError(
+        f"axis sizes must be >= 1, got replica={replica}, data={data}")
   if devices is None:
     devices = jax.devices()
   dev_array = mesh_utils.create_hybrid_device_mesh(

@@ -29,6 +29,40 @@ def test_ici_mesh_rejects_non_power_of_two_state():
     topology.ici_mesh(data=1, state=3)
 
 
+def test_mesh_constructors_reject_degenerate_axis_sizes():
+  """state=0 satisfies `state & (state - 1) == 0` (0 & -1 == 0): every
+  constructor must reject it explicitly instead of building a zero-device
+  mesh that fails obscurely far from the bad argument."""
+  from qhbmlib_tpu import parallel
+  for bad in (0, -2):
+    with pytest.raises(ValueError):
+      parallel.make_mesh(data=1, state=bad)
+    with pytest.raises(ValueError):
+      topology.ici_mesh(data=1, state=bad)
+  with pytest.raises(ValueError):
+    parallel.make_mesh(data=0, state=1)
+  with pytest.raises(ValueError, match="power of 2"):
+    topology.dcn_mesh(replica=2, data=1, state=3)
+
+
+def test_sharded_qnn_rejects_absent_axes():
+  """A misspelled data_axis must raise (it used to silently disable data
+  parallelism and run the batch fully replicated); a bad state_axis must
+  fail at construction, not as a KeyError at the first expectation."""
+  from qhbmlib_tpu import parallel
+  from qhbmlib_tpu.models import circuit as circuit_model
+  mesh = parallel.make_mesh(data=2, state=2)
+  pqc = circuit_utils.hardware_efficient_ansatz(3, 1)
+  circ = circuit_model.DirectQuantumCircuit(pqc)
+  with pytest.raises(ValueError, match="no axis 'batch'"):
+    parallel.ShardedQuantumInference(circ, mesh, data_axis="batch")
+  with pytest.raises(ValueError, match="no axis 'amps'"):
+    parallel.ShardedQuantumInference(circ, mesh, state_axis="amps")
+  # None still legitimately disables data parallelism.
+  q = parallel.ShardedQuantumInference(circ, mesh, data_axis=None)
+  assert q._data_axis is None
+
+
 def test_ici_mesh_runs_sharded_engine():
   """The ICI-ordered mesh drops into the amplitude-sharded engine."""
   mesh = topology.ici_mesh(data=1, state=8)
