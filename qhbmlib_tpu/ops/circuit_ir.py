@@ -76,8 +76,16 @@ class Gate:
     # len(qubits) slots per gate), so a mismatch silently desynchronizes
     # simulators, and a wrong arity or negative qubit would index the
     # packed C arrays out of bounds.
+    if self.kind not in _ANGLE_SCALE:
+      raise ValueError(f"unknown gate kind {self.kind!r}")
     if any(q < 0 for q in self.qubits):
       raise ValueError(f"gate qubits must be non-negative: {self.qubits}")
+    if len(set(self.qubits)) != len(self.qubits):
+      # A duplicate qubit silently overwrites its PROT pauli code slot
+      # (simulating X where X*X = I was written) or crashes deep inside
+      # apply_dense for power gates -- reject on every construction path,
+      # not just CircuitBuilder.add.
+      raise ValueError(f"gate qubits must be distinct: {self.qubits}")
     if self.kind in ONE_QUBIT_KINDS and len(self.qubits) != 1:
       raise ValueError(f"{self.kind!r} takes 1 qubit, got {self.qubits}")
     if self.kind in TWO_QUBIT_KINDS and len(self.qubits) != 2:
@@ -246,6 +254,14 @@ class CircuitBuilder:
         raise ValueError(f"qubit {q} out of range")
     if len(set(qubits)) != len(qubits):
       raise ValueError("gate qubits must be distinct")
+    if symbol is None and float(coeff) not in (0.0, 1.0):
+      # Constant gates resolve to angle = shift; a non-trivial coeff here
+      # would be silently ignored (the gate typically simulating as
+      # identity).  The convenience wrappers pass coeff=0.0 deliberately.
+      raise ValueError(
+          f"coeff={coeff} has no effect on a constant gate (no symbol): "
+          "the angle resolves to `shift` alone -- fold the factor into "
+          "`shift` or parameterize the gate with a symbol")
     # Gate.__post_init__ validates PROT pauli/qubit alignment.
     self._gates.append(
         Gate(
@@ -303,22 +319,28 @@ def exp_pauli_sum(paulisum,
                   symbol: Optional[str] = None,
                   coeff: float = 1.0,
                   shift: float = 0.0,
-                  builder: Optional[CircuitBuilder] = None) -> Circuit:
+                  builder: Optional[CircuitBuilder] = None):
   """Appends exp(-i * angle * term) for each term of `paulisum`.
 
   Exact when the terms commute (the Trotter/TFIM and QAIA use cases).  The
   per-term coefficient multiplies the angle.  Replaces `tfq.util.exponential`
   (reference: qhbmlib/models/circuit.py:268-269, baselines/train.py:88-89).
+
+  Returns a built `Circuit` when `builder` is None; otherwise appends into
+  the caller's builder in place and returns THAT `CircuitBuilder` (so the
+  caller keeps composing / calls `.build()` itself).
   """
   b = builder or CircuitBuilder(paulisum.num_qubits)
   coeffs = np.asarray(paulisum.coeffs)
   for t in range(paulisum.num_terms):
     qubits = [q for q, c in enumerate(paulisum.codes[t]) if c != 0]
     paulis = [c for c in paulisum.codes[t] if c != 0]
+    # Constant gates (no symbol) resolve to angle = shift alone, so the
+    # slope must not carry the term coefficient (the builder rejects a
+    # non-trivial unused coeff).
+    cf = coeff * float(coeffs[t]) if symbol is not None else 0.0
     if not qubits:  # identity term: global phase exp(-i*angle*coeff_t)
-      b.add(GPHASE, [], symbol, -coeff * float(coeffs[t]),
-            -shift * float(coeffs[t]))
+      b.add(GPHASE, [], symbol, -cf, -shift * float(coeffs[t]))
       continue
-    b.prot(qubits, paulis, symbol, coeff * float(coeffs[t]),
-           shift * float(coeffs[t]))
+    b.prot(qubits, paulis, symbol, cf, shift * float(coeffs[t]))
   return b if builder is not None else b.build()

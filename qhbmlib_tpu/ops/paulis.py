@@ -33,7 +33,7 @@ _PAULI_MATS = (
 
 
 @jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class PauliSum:
   """Sum of Pauli strings: sum_t coeffs[t] * prod_q P(codes[t, q]) on qubit q.
 
@@ -127,6 +127,10 @@ def pauli_sum_from_strings(
   for coeff, qmap in terms:
     row = [I] * num_qubits
     for q, p in qmap.items():
+      if not 0 <= q < num_qubits:
+        # Same check as pauli_string: a negative index would silently wrap
+        # via Python list indexing onto the wrong qubit.
+        raise ValueError(f"qubit {q} out of range for {num_qubits} qubits")
       row[q] = _CHAR_TO_CODE[p] if isinstance(p, str) else int(p)
     codes.append(tuple(row))
     coeffs.append(coeff)
@@ -148,7 +152,10 @@ def tfim_1d(num_qubits: int, h: float = 1.0, j: float = 1.0,
   baselines/train.py get_tfim_hamiltonian).
   """
   terms = [(-h, {q: "X"}) for q in range(num_qubits)]
-  last = num_qubits if periodic else num_qubits - 1
+  # The periodic wrap bond only exists for n > 2: at n=2 the wrap (1, 0)
+  # duplicates the open bond (0, 1) (double-counting it), and at n=1 the
+  # "bond" {0: Z, 0: Z} would collapse to a bare Z where Z*Z = I.
+  last = num_qubits if (periodic and num_qubits > 2) else num_qubits - 1
   terms += [(-j, {q: "Z", (q + 1) % num_qubits: "Z"}) for q in range(last)]
   return pauli_sum_from_strings(num_qubits, terms)
 

@@ -35,6 +35,7 @@ the computational-basis index.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -49,7 +50,7 @@ COMPLEX_DTYPE = jnp.complex64
 
 # Number of qubits kept in the minor (column) dimension: 2^7 = 128 = the TPU
 # lane width, so minor-gate matmuls are exactly MXU-shaped.
-MINOR_MAX = int(__import__("os").environ.get("QHBM_MINOR_BITS", "7"))
+MINOR_MAX = int(os.environ.get("QHBM_MINOR_BITS", "7"))
 
 
 def minor_bits(n: int) -> int:
@@ -419,11 +420,7 @@ def _major_kron_np(bin_qubits, factor_by_qubit) -> np.ndarray:
 def _embed_block_pauli_np(major_factors, start: int, k: int) -> np.ndarray:
   """Static [2^k, 2^k] kron of per-qubit Pauli factors over the row block
   [start, start+k), identity on untouched qubits."""
-  by_q = dict(major_factors)
-  mat = np.ones((1, 1), np.complex64)
-  for q in range(start, start + k):
-    mat = np.kron(mat, paulis._PAULI_MATS[by_q.get(q, paulis.I)])
-  return mat.astype(np.complex64)
+  return _major_kron_np(range(start, start + k), dict(major_factors))
 
 
 def _interleave_kron_np(p_np: np.ndarray, k: int) -> np.ndarray:
@@ -704,8 +701,11 @@ def diag_parity_triples(gate: ir.Gate, nr: int, m: int):
   if gate.kind == ir.ZP:
     return bit_triples(gate.qubits[0], np.pi)
   if gate.kind == ir.RZ:
-    t = bit_triples(gate.qubits[0], 1.0)
-    return [(t[0][0] - 0.5, 0, 0)] + t[1:]
+    # rz phase = theta*(b - 1/2): the -theta/2 constant cancels
+    # bit_triples' +theta/2 term exactly, so only the sign factor survives
+    # (emitting the zero-coefficient constant would occupy a chunk slot --
+    # a wasted state-sized column -- in every fused-diag pass).
+    return bit_triples(gate.qubits[0], 1.0)[1:]
   if gate.kind == ir.CZP:
     return pair_triples(gate.qubits[0], gate.qubits[1], np.pi)
   if gate.kind == ir.ZZP:
@@ -756,11 +756,7 @@ def _sign_rows(masks, r: int) -> jnp.ndarray:
 def _sign_cols(masks, c: int) -> np.ndarray:
   """[K, C] static parity signs from column masks."""
   cols = np.arange(c)[None, :]
-  par = np.zeros((len(masks), c), np.int64)
-  vals = cols & np.asarray(masks, np.int64)[:, None]
-  while np.any(vals):
-    par += vals & 1
-    vals >>= 1
+  par = _popcount_np(cols & np.asarray(masks, np.int64)[:, None])
   return (1.0 - 2.0 * (par & 1)).astype(np.float32)
 
 
@@ -883,7 +879,6 @@ def matmul_precision():
   faster, ~3 decimal digits), 'high' (3 passes, ~f32), 'highest' (6
   passes).  Statevector sweeps chain hundreds of contractions, so the
   default here is 'high'; override with QHBM_MATMUL_PRECISION."""
-  import os
   name = os.environ.get("QHBM_MATMUL_PRECISION", "high")
   return {
       "none": None,
@@ -906,7 +901,6 @@ def _planar_matmuls_enabled() -> bool:
   At 3-pass 'high' precision the complex lowering (3-multiplication
   algorithm) wins back ~10%, so 'auto' enables planar exactly when the
   contraction precision is DEFAULT.  QHBM_PLANAR_MATMUL=0/1 forces."""
-  import os
   v = os.environ.get("QHBM_PLANAR_MATMUL", "auto")
   if v == "auto":
     return matmul_precision() == jax.lax.Precision.DEFAULT
@@ -1046,7 +1040,6 @@ def _bf16_state_enabled() -> bool:
   request to 8 mantissa bits -- which also keeps the bench's 'highest'
   accuracy reference (bench.py measure_precision_accuracy, which toggles
   only QHBM_MATMUL_PRECISION) clean of the very rounding it measures."""
-  import os
   if os.environ.get("QHBM_STATE_DTYPE", "") != "bf16":
     return False
   return os.environ.get("QHBM_MATMUL_PRECISION", "high") == "default"
@@ -1080,7 +1073,6 @@ def _fused_1q_enabled() -> bool:
   """Streamed fused 1q-segment kernel (ops/pallas_sv.py
   fused_blocks_minor_apply): folds the first two row-block matmuls and the
   minor matmul into ONE HBM pass over the state on TPU lowerings."""
-  import os
   return os.environ.get("QHBM_FUSED_1Q", "0") == "1"
 
 
@@ -1231,7 +1223,6 @@ def _pallas_forward_enabled() -> bool:
   JAX path below (2.4ms vs 1.8ms per 20q/4L apply, chained-scan timing on
   v5e); the MXU block folding made plain XLA the fast path.  Kept for
   experimentation via QHBM_PALLAS=1."""
-  import os
   return os.environ.get("QHBM_PALLAS", "0") == "1"
 
 
@@ -1315,7 +1306,9 @@ def expectation_terms(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
   only X/Y terms pay a per-term state pass.
   """
   r, c = state.shape
-  n = len(op.codes[0]) if op.num_terms else num_qubits_of(state)
+  if op.num_terms == 0:  # e.g. concat_ops([], n); jnp.stack([]) would raise
+    return jnp.zeros([0], jnp.float32)
+  n = len(op.codes[0])
   m = int(c).bit_length() - 1
   nr = n - m
   num_terms = op.num_terms
@@ -1413,7 +1406,6 @@ def probabilities(state: jnp.ndarray) -> jnp.ndarray:
 def sample_indices(key: jax.Array, state: jnp.ndarray,
                    num_samples: int) -> jnp.ndarray:
   """Draws basis-state indices from |psi|^2.  Shape [num_samples], int32."""
-  from qhbmlib_tpu import utils
   probs = probabilities(state)
   return utils.categorical_indices_from_weights(key, probs, num_samples)
 

@@ -151,6 +151,46 @@ def test_ir_bounds_validated_on_every_construction_path():
     ir.Gate(ir.CZP, (0,))
   with pytest.raises(ValueError, match="non-negative"):
     ir.Gate(ir.RX, (-1,))
+  # Duplicate qubits and unknown kinds must also fail on direct/from_dict
+  # construction (a duplicate PROT qubit silently overwrites its pauli code
+  # slot; an unknown kind only exploded at simulation time).
+  with pytest.raises(ValueError, match="distinct"):
+    ir.Gate(ir.PROT, (0, 0), paulis=(1, 1))
+  with pytest.raises(ValueError, match="distinct"):
+    ir.Gate(ir.ZZP, (1, 1))
+  with pytest.raises(ValueError, match="unknown gate kind"):
+    ir.Gate("xx", (0, 1))
+  # A non-trivial coeff on a constant (symbol-less) builder gate is
+  # silently ignored by resolve_angle -- the builder rejects it.
+  with pytest.raises(ValueError, match="constant gate"):
+    ir.CircuitBuilder(2).rx(0, coeff=0.5)
+  # The deliberate constant forms stay legal.
+  ir.CircuitBuilder(2).cz(0, 1).h(0).rx(1, shift=0.3).build()
+
+
+def test_pauli_sum_validation_and_small_tfim():
+  from qhbmlib_tpu.ops import paulis as paulis_lib
+  # Negative qubit indices must not silently wrap onto the last qubit.
+  with pytest.raises(ValueError, match="out of range"):
+    paulis_lib.pauli_sum_from_strings(4, [(1.0, {-1: "Z"})])
+  # PauliSum equality must not raise on multi-term operators (the default
+  # dataclass __eq__ compared the coeffs array -> ambiguous-truth error).
+  a, b = paulis_lib.tfim_1d(4), paulis_lib.tfim_1d(4)
+  assert (a == b) is False and (a == a) is True  # identity semantics
+  assert a in [a]
+  # Periodic wrap bond only exists for n > 2: n=2 must not double-count the
+  # single bond, n=1 has no bond at all.
+  p2 = paulis_lib.tfim_1d(2, periodic=True)
+  zz_rows = [c for c in p2.codes if c.count(paulis_lib.Z) == 2]
+  assert len(zz_rows) == 1
+  p1 = paulis_lib.tfim_1d(1, periodic=True)
+  assert all(paulis_lib.Z not in c for c in p1.codes)
+  np.testing.assert_allclose(np.asarray(p2.dense()),
+                             np.asarray(paulis_lib.tfim_1d(2).dense()))
+  # Zero-term operators evaluate to an empty vector, not a stack() crash.
+  empty = paulis_lib.PauliSum(codes=(), coeffs=jnp.zeros([0]), num_qubits=3)
+  state = sv.zero_state(3)
+  assert sv.expectation_terms(state, empty).shape == (0,)
 
 
 def test_oracle_rejects_malformed_bits():
