@@ -79,6 +79,11 @@ def _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam):
                             for j in range(len(keep))
                             if owner[keep[j]] == g_idx)
         grad_terms.append((gate.slot, gate.coeff * dangle))
+  factors = sv.diag_segment_phasor_factors(seg_gates, seg_angles, a.shape)
+  if factors is not None:
+    # Factored un-apply: exp(-i*phase) as row x col x cross phasors -- no
+    # 2^n-element transcendental sweep (see diag_segment_phasor_factors).
+    return sv.apply_diag_segment_phasor(factors, (a, lam), sign=-1.0)
   total = sv.diag_segment_phase(seg_gates, seg_angles, a.shape)
   phase = jnp.exp(-1j * total.astype(sv.COMPLEX_DTYPE))
   return a * phase, lam * phase

@@ -307,6 +307,10 @@ def _apply_diag_segment_sharded(seg_gates, seg_angles, local: jnp.ndarray,
   weighted = [coeffs[j] * signs[j] * jnp.asarray(seg_angles[owner[j]],
                                                  jnp.float32)
               for j in range(len(coeffs))]
+  factors = sv.phasor_factors_from_triples(weighted, rms, cms, (r, c))
+  if factors is not None:
+    (out,) = sv.apply_diag_segment_phasor(factors, (local,))
+    return out
   total = sv.parity_outer_sum(weighted, rms, cms, (r, c))
   return local * jnp.exp(1j * total.astype(COMPLEX_DTYPE))
 
@@ -330,6 +334,9 @@ def _bwd_diag_segment_sharded(seg_gates, seg_angles, grad_terms, a, lam, k,
   neg = [-jnp.asarray(a_j, jnp.float32) for a_j in seg_angles]
   weighted = [coeffs[j] * signs[j] * neg[owner[j]]
               for j in range(len(coeffs))]
+  factors = sv.phasor_factors_from_triples(weighted, rms, cms, a.shape)
+  if factors is not None:
+    return sv.apply_diag_segment_phasor(factors, (a, lam))
   total = sv.parity_outer_sum(weighted, rms, cms, a.shape)
   phase = jnp.exp(1j * total.astype(COMPLEX_DTYPE))
   return a * phase, lam * phase

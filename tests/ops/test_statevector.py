@@ -624,3 +624,105 @@ class TestBf16StatePlanes:
     monkeypatch.delenv("QHBM_STATE_DTYPE", raising=False)
     st2, _, _ = measure()
     np.testing.assert_array_equal(st2, st0)
+
+
+class TestDiagPhasorFactors:
+  """The factored diag phasor (row x col x cross, statevector.py
+  diag_segment_phasor_factors) against the materialized [R, C] phase path
+  it replaced -- same segment, same angles, same point."""
+
+  def _segment_circuit(self, n):
+    """ZP on every qubit + brick-wall CZ: one bond crosses the row/col
+    boundary when n > MINOR_MAX."""
+    b = ir.CircuitBuilder(n)
+    for q in range(n):
+      b.zp(q, f"z_{q}")
+    for q in range(0, n - 1, 2):
+      b.cz(q, q + 1, f"ce_{q}")
+    for q in range(1, n - 1, 2):
+      b.cz(q, q + 1, f"co_{q}")
+    return b.build()
+
+  def _random_state(self, n, seed=3):
+    rng = np.random.RandomState(seed)
+    st = rng.randn(2**n) + 1j * rng.randn(2**n)
+    st /= np.linalg.norm(st)
+    r = 2**max(n - sv.MINOR_MAX, 0)
+    return jnp.asarray(st.reshape(r, -1).astype(np.complex64))
+
+  @pytest.mark.parametrize("n", [5, 9])
+  def test_factored_matches_materialized(self, n, monkeypatch):
+    circ = self._segment_circuit(n)
+    gates = list(circ.gates)
+    k = circ.num_symbols
+    values = jnp.linspace(0.2, 1.1, k)
+    st = self._random_state(n)
+
+    def apply(vals):
+      return sv._apply_diag_segment(gates, [vals[i] for i in range(k)], st)
+
+    monkeypatch.delenv("QHBM_DIAG_PHASOR", raising=False)
+    factors = sv.diag_segment_phasor_factors(
+        gates, [values[i] for i in range(k)], st.shape)
+    if n > sv.MINOR_MAX:
+      assert factors is not None and len(factors[2]) >= 1  # boundary bond
+    out_fac = np.asarray(jax.jit(apply)(values))
+    monkeypatch.setenv("QHBM_DIAG_PHASOR", "materialize")
+    out_mat = np.asarray(jax.jit(lambda v: apply(v))(values))
+    np.testing.assert_allclose(out_fac, out_mat, atol=2e-6)
+
+  def test_cross_overflow_falls_back(self):
+    n = 9  # rows carry qubits 0..1; every (row, col) ZZ pair is a cross
+    b = ir.CircuitBuilder(n)
+    pairs = [(rq, cq) for rq in (0, 1) for cq in range(2, 7)]
+    for i, (rq, cq) in enumerate(pairs):  # 10 crosses > _CROSS_MAX
+      b.prot([rq, cq], [3, 3], f"s_{i}")
+    circ = b.build()
+    gates = list(circ.gates)
+    k = circ.num_symbols
+    values = jnp.linspace(0.1, 0.9, k)
+    st = self._random_state(n, seed=5)
+    factors = sv.diag_segment_phasor_factors(
+        gates, [values[i] for i in range(k)], st.shape)
+    assert factors is None  # falls back to the materialized path
+    out = np.asarray(jax.jit(
+        lambda v: sv._apply_diag_segment(gates, [v[i] for i in range(k)],
+                                         st))(values))
+    # materialized fallback still correct vs a direct phase build
+    total = np.asarray(jax.jit(
+        lambda v: sv.diag_segment_phase(gates, [v[i] for i in range(k)],
+                                        st.shape))(values))
+    np.testing.assert_allclose(out, np.asarray(st) * np.exp(1j * total),
+                               atol=2e-6)
+
+  def test_adjoint_gradient_same_point(self, monkeypatch):
+    """value_and_grad through the backward un-apply, factored vs
+    materialized, on an XP layer + diag layer circuit crossing the
+    row/col boundary."""
+    n = 9
+    b = ir.CircuitBuilder(n)
+    for q in range(n):
+      b.xp(q, f"x_{q}")
+    for q in range(n):
+      b.zp(q, f"z_{q}")
+    for q in range(0, n - 1, 2):
+      b.cz(q, q + 1, f"ce_{q}")
+    for q in range(1, n - 1, 2):
+      b.cz(q, q + 1, f"co_{q}")
+    circ = b.build()
+    op = paulis.tfim_1d(n)
+    bits = jnp.zeros([n], jnp.int8)
+    values = jnp.linspace(-0.4, 0.8, circ.num_symbols)
+
+    def loss(vals):
+      state = sv.basis_state(n, bits)
+      terms = adjoint.adjoint_term_expectations(circ, vals, state, op)
+      return jnp.sum(jnp.asarray(op.coeffs) * terms)
+
+    monkeypatch.delenv("QHBM_DIAG_PHASOR", raising=False)
+    v_fac, g_fac = jax.jit(jax.value_and_grad(loss))(values)
+    monkeypatch.setenv("QHBM_DIAG_PHASOR", "materialize")
+    v_mat, g_mat = jax.jit(jax.value_and_grad(lambda v: loss(v)))(values)
+    np.testing.assert_allclose(float(v_fac), float(v_mat), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fac), np.asarray(g_mat),
+                               atol=1e-4)
