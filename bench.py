@@ -62,6 +62,70 @@ def log(msg):
   print(msg, file=sys.stderr, flush=True)
 
 
+def _flat_grads(grads):
+  import jax
+  import numpy as np
+  return np.concatenate([
+      np.asarray(x).reshape(-1) for x in jax.tree_util.tree_leaves(grads)])
+
+
+# bf16-headline accuracy bar (BASELINE.md): max relative gradient error the
+# fast 1-pass 'default' mode may show against the 3-pass 'high' reference
+# before the bench must demote the headline to the 'high' number.
+GRAD_REL_GATE = 1e-2
+
+
+def precision_gate(traj_default, traj_high):
+  """Always-on precision gate: default-vs-high loss/grad deltas at the
+  default arm's own (params, key) trajectory points (VERDICT r4 next #4).
+
+  Replays the default arm's recorded step inputs through the HIGH arm's
+  already-compiled train step (identical params and PRNG keys -> identical
+  EBM samples, so every delta is pure matmul rounding) -- zero extra
+  compiles, ~2*steps extra step executions.  Reference is 'high' (3-pass
+  bf16, ~5e-4 of its own rounding vs f32 -- benchmarks/RESULTS.md), which
+  is two orders of magnitude below the 1e-2 gate, so gate decisions match
+  the budget-gated 'highest'-reference artifact."""
+  import numpy as np
+
+  step_h = traj_high["train_step"]
+  opt0 = traj_high["opt_state0"]
+  losses_h, grads_h = [], []
+  for p, sub in traj_default["snaps"]:
+    loss_h, g_h, _, _ = step_h(p, opt0, sub)
+    losses_h.append(float(loss_h))
+    grads_h.append(_flat_grads(g_h))
+  l_d = np.asarray(traj_default["losses"])
+  l_h = np.asarray(losses_h)
+  loss_err = float(np.max(np.abs(l_d - l_h)))
+  grad_rel = max(
+      float(np.linalg.norm(gd - gh) / max(np.linalg.norm(gh), 1e-12))
+      for gd, gh in zip(traj_default["grads"], grads_h))
+  out = {
+      "gate_loss_err": round(loss_err, 9),
+      "gate_grad_rel_err": round(grad_rel, 9),
+      "gate_reference": "high",
+      "gate_trajectory_steps": len(losses_h),
+  }
+  log(f"[bench:gate] default-vs-high at {len(losses_h)} identical "
+      f"(params, key) points: max loss err {loss_err:.2e}, max grad rel "
+      f"err {grad_rel:.2e} (gate {GRAD_REL_GATE:.0e})")
+  return out
+
+
+def choose_headline(sps_default, sps_high, grad_rel_err, gate=GRAD_REL_GATE):
+  """Demotion rule (pure, unit-tested): if the measured default-mode
+  gradient error breaches the gate and a high-mode measurement exists, the
+  HIGH number becomes the headline.  Returns (value, precision, demoted).
+  An unmeasured gate (None/NaN) keeps the default headline but is reported
+  in extra by the caller."""
+  have_high = (sps_high is not None and sps_high == sps_high)
+  err_known = (grad_rel_err is not None and grad_rel_err == grad_rel_err)
+  if err_known and grad_rel_err >= gate and have_high:
+    return sps_high, "high", True
+  return sps_default, PRECISION, False
+
+
 def build_train_step(cfg):
   import jax
   import jax.numpy as jnp
@@ -122,8 +186,15 @@ def measure_flops(train_step, params, opt_state, key):
     return None
 
 
-def run_workload(name, cfg, measure_steps, scan=None):
+def run_workload(name, cfg, measure_steps, scan=None, traj=None):
   """Measures steps/s with a host loop; optionally also scan-of-steps.
+
+  With `traj` (a dict), records the measured trajectory for the always-on
+  precision gate: traj["snaps"] = the (params, key) input of every measured
+  step, traj["losses"]/traj["grads"] = the loss and flattened gradient the
+  step returned, traj["train_step"] = the compiled step function itself
+  (so another arm can re-evaluate loss/grads at the SAME points with zero
+  extra compiles), traj["opt_state0"] = a matching opt state for replays.
 
   QHBM_BENCH_SCAN=1 additionally times `lax.scan` over `measure_steps`
   train steps inside ONE jitted program and makes THAT the returned
@@ -152,13 +223,27 @@ def run_workload(name, cfg, measure_steps, scan=None):
   log(f"[bench:{name}] compile + first step: "
       f"{time.perf_counter() - t0:.2f}s, loss={float(loss):.4f}")
 
+  if traj is not None:
+    traj["train_step"] = train_step
+    traj["opt_state0"] = opt_state
+    traj["snaps"], traj["losses"], traj["grads"] = [], [], []
   t0 = time.perf_counter()
   for _ in range(measure_steps):
     key, sub = jax.random.split(key)
-    loss, _, params, opt_state = train_step(params, opt_state, sub)
+    if traj is not None:
+      traj["snaps"].append((params, sub))
+    loss, grads, params, opt_state = train_step(params, opt_state, sub)
+    if traj is not None:
+      traj["losses"].append(loss)
+      traj["grads"].append(grads)
   loss.block_until_ready()
   dt = time.perf_counter() - t0
   sps_loop = measure_steps / dt
+  if traj is not None:
+    # Materialize AFTER timing: device->host copies of a few hundred
+    # scalars per step, kept off the measured loop.
+    traj["losses"] = [float(l) for l in traj["losses"]]
+    traj["grads"] = [_flat_grads(g) for g in traj["grads"]]
   log(f"[bench:{name}] {measure_steps} steps in {dt:.2f}s -> "
       f"{sps_loop:.4f} steps/s (host loop, final loss {float(loss):.4f})")
   flops = measure_flops(train_step, params, opt_state, sub)
@@ -403,9 +488,10 @@ def run_independent_anchor(cfg):
   return 1.0 / secs
 
 
-def independent_baseline(name, cfg):
+def independent_baseline(name, cfg, budget_s=None):
   """Cached wrapper for run_independent_anchor (subprocess, like
-  cpu_baseline; the 24q measurement takes minutes)."""
+  cpu_baseline; the 24q measurement takes minutes).  `budget_s` bounds the
+  one-time measurement just like cpu_baseline's."""
   cache = {}
   if os.path.exists(CACHE_PATH):
     with open(CACHE_PATH) as f:
@@ -421,15 +507,25 @@ def independent_baseline(name, cfg):
     log(f"[bench:{name}] cached independent C++ baseline: "
         f"{entry['steps_per_sec']:.4f} steps/s")
     return entry["steps_per_sec"]
+  if budget_s is not None and budget_s < 120:
+    log(f"[bench:{name}] skipping independent baseline measurement "
+        f"(budget {budget_s:.0f}s < 120s)")
+    return float("nan")
   log(f"[bench:{name}] measuring independent C++ baseline (one-time)...")
   env = dict(os.environ,
              QHBM_BENCH_QUBITS=str(cfg["n"]),
              QHBM_BENCH_LAYERS=str(cfg["layers"]),
              QHBM_BENCH_SAMPLES=str(cfg["samples"]),
              QHBM_BENCH_MAX_UNIQUE=str(cfg["max_unique"]))
-  out = subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--independent-child"], env=env,
-                       capture_output=True, text=True, timeout=7200)
+  try:
+    out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                          "--independent-child"], env=env,
+                         capture_output=True, text=True,
+                         timeout=budget_s if budget_s is not None else 7200)
+  except subprocess.TimeoutExpired:
+    log(f"[bench:{name}] independent baseline timed out after "
+        f"{budget_s:.0f}s")
+    return float("nan")
   if out.returncode != 0:
     log(f"[bench:{name}] independent baseline failed:\n{out.stderr[-2000:]}")
     return float("nan")
@@ -441,7 +537,28 @@ def independent_baseline(name, cfg):
   return result["steps_per_sec"]
 
 
-def cpu_baseline(name, cfg):
+def cached_baseline(name, cfg):
+  """Cache-only CPU baseline lookup: the committed seed file or an earlier
+  measurement this run.  Never launches a subprocess -- this is what the
+  PROVISIONAL headline emission uses, so it can never stall."""
+  cache = {}
+  if os.path.exists(CACHE_PATH):
+    with open(CACHE_PATH) as f:
+      cache = json.load(f)
+  entry = cache.get(name)
+  if entry and entry.get("config") == cfg:
+    return entry["steps_per_sec"]
+  return float("nan")
+
+
+def cpu_baseline(name, cfg, budget_s=None):
+  """CPU baseline steps/s, cached in bench_baseline_cpu.json.
+
+  `budget_s` bounds the one-time subprocess measurement (VERDICT r4: the
+  round-4 driver artifact died re-measuring a baseline in an UNGUARDED
+  7200s subprocess).  On a cache miss with insufficient budget the
+  baseline is simply NaN for this run -- strictly better than risking the
+  fresh accelerator headline."""
   cache = {}
   if os.path.exists(CACHE_PATH):
     with open(CACHE_PATH) as f:
@@ -451,15 +568,24 @@ def cpu_baseline(name, cfg):
     log(f"[bench:{name}] cached CPU baseline: "
         f"{entry['steps_per_sec']:.4f} steps/s")
     return entry["steps_per_sec"]
+  if budget_s is not None and budget_s < 120:
+    log(f"[bench:{name}] skipping CPU baseline measurement "
+        f"(budget {budget_s:.0f}s < 120s)")
+    return float("nan")
   log(f"[bench:{name}] measuring CPU baseline (subprocess, one-time)...")
   env = dict(os.environ, JAX_PLATFORMS="cpu",
              QHBM_BENCH_QUBITS=str(cfg["n"]),
              QHBM_BENCH_LAYERS=str(cfg["layers"]),
              QHBM_BENCH_SAMPLES=str(cfg["samples"]),
              QHBM_BENCH_MAX_UNIQUE=str(cfg["max_unique"]))
-  out = subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--cpu-child"], env=env, capture_output=True,
-                       text=True, timeout=7200)
+  try:
+    out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                          "--cpu-child"], env=env, capture_output=True,
+                         text=True,
+                         timeout=budget_s if budget_s is not None else 7200)
+  except subprocess.TimeoutExpired:
+    log(f"[bench:{name}] CPU baseline timed out after {budget_s:.0f}s")
+    return float("nan")
   if out.returncode != 0:
     log(f"[bench:{name}] CPU baseline failed:\n{out.stderr[-2000:]}")
     return float("nan")
@@ -496,6 +622,17 @@ LAST_TPU_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "benchmarks", "last_tpu_bench.json")
 
 
+# Internal watchdog budget.  MUST stay below the driver's own kill budget
+# (~3600s, BENCH_r04.json rc=124): the round-4 artifact was lost because the
+# 4500s default let the external kill win the race against _emit_fallback.
+TOTAL_TIMEOUT_DEFAULT = 3000
+
+
+def _total_timeout():
+  return float(os.environ.get("QHBM_BENCH_TOTAL_TIMEOUT",
+                              TOTAL_TIMEOUT_DEFAULT))
+
+
 def _run_accel_child():
   """Run the accelerator measurement in a watched child process.
 
@@ -506,36 +643,70 @@ def _run_accel_child():
   log line within QHBM_BENCH_INIT_TIMEOUT (default 900s -- axon warmup
   alone is 140-470s) or the whole run exceeds QHBM_BENCH_TOTAL_TIMEOUT.
 
-  Returns (rc, stdout) on child exit, or (None, "") on watchdog kill.
+  The child's STDOUT is relayed line-by-line AS IT ARRIVES (and flushed):
+  the child emits a provisional headline JSON right after the accelerator
+  measurements, so even an external SIGKILL of this whole process tree
+  mid-extras leaves a parseable headline as the last stdout line (the
+  round-4 driver artifact was lost to exactly that kill -- VERDICT r4
+  weak #1).
+
+  Returns (rc, stdout_so_far) on child exit, or (None, stdout_so_far) on
+  watchdog kill.
   """
   proc = subprocess.Popen(
       [sys.executable, os.path.abspath(__file__), "--accel-child"],
       stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
   marker_seen = threading.Event()
+  out_lines = []
 
-  def pump():
+  def pump_err():
     for line in proc.stderr:
       sys.stderr.write(line)
       sys.stderr.flush()
       if "devices:" in line:
         marker_seen.set()
 
-  threading.Thread(target=pump, daemon=True).start()
+  def pump_out():
+    for line in proc.stdout:
+      out_lines.append(line)
+      sys.stdout.write(line)
+      sys.stdout.flush()
+
+  threading.Thread(target=pump_err, daemon=True).start()
+  out_thread = threading.Thread(target=pump_out, daemon=True)
+  out_thread.start()
   init_to = float(os.environ.get("QHBM_BENCH_INIT_TIMEOUT", 900))
-  total_to = float(os.environ.get("QHBM_BENCH_TOTAL_TIMEOUT", 4500))
+  total_to = _total_timeout()
   t0 = time.time()
   while True:
     rc = proc.poll()
     if rc is not None:
-      return rc, proc.stdout.read()
+      out_thread.join(timeout=10)
+      return rc, "".join(out_lines)
     elapsed = time.time() - t0
     if elapsed > total_to or (elapsed > init_to and not marker_seen.is_set()):
       log(f"[bench] accelerator child unresponsive after {elapsed:.0f}s "
           f"(backend up: {marker_seen.is_set()}); killing it")
       proc.kill()
       proc.wait()
-      return None, ""
+      out_thread.join(timeout=10)
+      return None, "".join(out_lines)
     time.sleep(2)
+
+
+def _has_json_line(text):
+  """True when some stdout line already parses as a headline JSON object."""
+  for line in text.splitlines():
+    line = line.strip()
+    if not line.startswith("{"):
+      continue
+    try:
+      parsed = json.loads(line)
+    except ValueError:
+      continue
+    if isinstance(parsed, dict) and "metric" in parsed:
+      return True
+  return False
 
 
 def _emit_fallback():
@@ -551,7 +722,10 @@ def _emit_fallback():
   cfg = _env_workload() or WORKLOADS["24q"]
   name = f"{cfg['n']}q"
   metric = f"vqt_train_steps_per_sec_{name}"
-  base = cpu_baseline(name, cfg)
+  # Bounded: the fallback runs AFTER the watchdog already spent its budget,
+  # so an uncached CPU measurement here must never outlive the driver's
+  # remaining patience (the committed seed cache makes this a lookup).
+  base = cpu_baseline(name, cfg, budget_s=240)
 
   recorded = None
   if os.path.exists(LAST_TPU_PATH):
@@ -611,6 +785,8 @@ def _record_last_tpu(stdout_text):
     return  # test-hook CPU runs are not TPU evidence
   try:
     parsed = json.loads(stdout_text.strip().splitlines()[-1])
+    if parsed.get("extra", {}).get("provisional"):
+      return  # a cache-only-baseline line must not become the stale record
     if parsed.get("extra", {}).get("platform") in ("cpu-fallback",
                                                    "tpu-recorded-stale",
                                                    "cpu"):
@@ -640,6 +816,35 @@ def _force_cpu():
 _MAIN_T0 = time.time()  # accel-child start; proxies the parent's watchdog t0
 
 
+def _budget_left(margin=120.0):
+  """Seconds left before the parent watchdog kills this child, minus a
+  safety margin for parent-start skew and the final emit."""
+  return _total_timeout() - (time.time() - _MAIN_T0) - margin
+
+
+def _emit_provisional(metric, sps, cached_base, extra):
+  """First-chance headline: printed (and flushed through the parent relay)
+  the moment fresh accelerator measurements exist, with cache-only
+  baselines.  The enriched final line supersedes it when the run survives;
+  any kill in between now truncates EXTRAS, not the record."""
+  print(json.dumps({
+      "metric": metric,
+      "value": round(sps, 4),
+      "unit": "steps/s",
+      "vs_baseline": _ratio(sps, cached_base),
+      "extra": dict(extra, provisional=True),
+  }), flush=True)
+
+
+def _maybe_hang_for_test():
+  """Test hook (QHBM_BENCH_HANG_AFTER_PROVISIONAL=1): simulate the round-4
+  failure mode -- a post-measurement stall (there: an unguarded CPU
+  baseline subprocess) that outlives every kill budget."""
+  if os.environ.get("QHBM_BENCH_HANG_AFTER_PROVISIONAL") == "1":
+    log("[bench] test hook: hanging after provisional emission")
+    time.sleep(100000)
+
+
 def main():
   os.environ.setdefault("QHBM_MATMUL_PRECISION", PRECISION)
   if "--cpu-child" in sys.argv:
@@ -661,11 +866,18 @@ def main():
 
   if "--accel-child" not in sys.argv:
     # Watchdog parent: jax-free, so a downed tunnel can never hang it.
+    # Child stdout is relayed line-by-line inside _run_accel_child; no
+    # re-emission here (it would duplicate the headline).
     rc, out = _run_accel_child()
     if rc == 0 and out.strip():
       _record_last_tpu(out)
-      sys.stdout.write(out)
-      sys.stdout.flush()
+      return
+    if _has_json_line(out):
+      # The provisional (or final) headline already reached stdout; a
+      # fallback emission now would override a REAL fresh measurement
+      # with a stale record as the last-parsed JSON line.
+      log(f"[bench] accelerator child died (rc={rc}) after emitting a "
+          "headline JSON line; keeping that line as the artifact")
       return
     log(f"[bench] accelerator child failed (rc={rc}); CPU fallback")
     _emit_fallback()
@@ -681,7 +893,13 @@ def main():
   if smoke is not None:
     name = f"{smoke['n']}q"
     sps, flops, sps_loop = run_workload(name, smoke, measure_steps=8)
-    base = cpu_baseline(name, smoke)
+    _emit_provisional(f"vqt_train_steps_per_sec_{name}", sps,
+                      cached_baseline(name, smoke),
+                      {"matmul_precision": PRECISION,
+                       "platform": _live_platform(),
+                       "workload": smoke})
+    _maybe_hang_for_test()
+    base = cpu_baseline(name, smoke, budget_s=_budget_left())
     print(json.dumps({
         "metric": f"vqt_train_steps_per_sec_{name}",
         "value": round(sps, 4),
@@ -692,15 +910,28 @@ def main():
                   **({"steps_per_sec_loop": round(sps_loop, 4)}
                      if sps_loop is not None else {}),
                   "workload": smoke},
-    }))
+    }), flush=True)
     return
 
+  traj24 = {}
   sps24, flops24, sps24_loop = run_workload("24q", WORKLOADS["24q"],
-                                             measure_steps=8)
+                                            measure_steps=8, traj=traj24)
   sps20, _, sps20_loop = run_workload("20q", WORKLOADS["20q"],
                                       measure_steps=8)
-  base24 = cpu_baseline("24q", WORKLOADS["24q"])
-  base20 = cpu_baseline("20q", WORKLOADS["20q"])
+  # PROVISIONAL headline, cache-only baselines: from here on, any kill --
+  # internal watchdog or the driver's -- still leaves a parseable fresh
+  # measurement as the last stdout JSON line (VERDICT r4 next #1a).
+  _emit_provisional("vqt_train_steps_per_sec_24q", sps24,
+                    cached_baseline("24q", WORKLOADS["24q"]),
+                    {"steps_per_sec_20q": round(sps20, 4),
+                     "vs_baseline_20q": _ratio(
+                         sps20, cached_baseline("20q", WORKLOADS["20q"])),
+                     "matmul_precision": PRECISION,
+                     "platform": _live_platform(),
+                     "workload": WORKLOADS["24q"]})
+  _maybe_hang_for_test()
+  base24 = cpu_baseline("24q", WORKLOADS["24q"], budget_s=_budget_left())
+  base20 = cpu_baseline("20q", WORKLOADS["20q"], budget_s=_budget_left())
 
   extra = {
       "steps_per_sec_20q": round(sps20, 4),
@@ -714,6 +945,8 @@ def main():
     # numbers alongside for comparability.
     extra["steps_per_sec_24q_loop"] = round(sps24_loop, 4)
     extra["steps_per_sec_20q_loop"] = round(sps20_loop, 4)
+  sps24_high = None
+  gate = {}
   if PRECISION != "high":
     # Publish the library-default 3-pass 'high' number alongside the fast
     # 1-pass headline so the headline never silently leans on 9e-3
@@ -721,16 +954,23 @@ def main():
     # trace time; a fresh build_train_step retraces with the new mode.
     try:
       os.environ["QHBM_MATMUL_PRECISION"] = "high"
+      traj24h = {}
       sps24_high, _, _ = run_workload("24q-high", WORKLOADS["24q"],
-                                      measure_steps=8)
+                                      measure_steps=8, traj=traj24h)
       extra["steps_per_sec_24q_high"] = round(sps24_high, 4)
       extra["vs_baseline_24q_high"] = _ratio(sps24_high, base24)
+      # Always-on precision gate: replay the default arm's step inputs
+      # through the high arm's compiled program (still env='high' here,
+      # though the program is already compiled and env-independent now).
+      gate = precision_gate(traj24, traj24h)
+      extra.update(gate)
     except Exception as e:  # never let the extra kill the headline
-      log(f"[bench] high-precision 24q measurement failed: {e}")
+      log(f"[bench] high-precision 24q measurement/gate failed: {e}")
     finally:
       os.environ["QHBM_MATMUL_PRECISION"] = PRECISION
   try:
-    indep24 = independent_baseline("24q", WORKLOADS["24q"])
+    indep24 = independent_baseline("24q", WORKLOADS["24q"],
+                                   budget_s=_budget_left())
     if indep24 == indep24:  # not NaN
       extra["cpu_independent_steps_per_sec"] = round(indep24, 5)
       extra["vs_independent"] = _ratio(sps24, indep24)
@@ -746,23 +986,23 @@ def main():
         measure_pauli_expectations(WORKLOADS["20q"]), 1)
   except Exception as e:  # never let the extra kill the headline
     log(f"[bench] expectations/sec measurement failed: {e}")
-  total_to = float(os.environ.get("QHBM_BENCH_TOTAL_TIMEOUT", 4500))
   if (PRECISION == "default"
-      and os.environ.get("QHBM_BENCH_ACCURACY", "1") != "0"
-      and total_to - (time.time() - _MAIN_T0) - 120 > 1500):
-    # Accuracy artifact for the bf16 headline: a same-point
-    # default-vs-highest loss/gradient delta plus the f64 oracle forward
-    # check.  Budget-guarded (needs one extra 24q compile, ~250-500s on a
-    # degraded tunnel) and fail-soft: problems only drop the extra.
-    try:
-      extra.update(measure_precision_accuracy(WORKLOADS["24q"]))
-    except Exception as e:
-      log(f"[bench] precision-accuracy measurement failed: {e}")
+      and os.environ.get("QHBM_BENCH_ACCURACY", "1") != "0"):
+    # Deep accuracy artifact (beyond the always-on gate above): the f64
+    # oracle forward check is cheap and always runs; the 'highest'-
+    # reference trajectory re-derivation needs one extra 24q compile
+    # (~250-500s on a degraded tunnel), so it stays budget-guarded.
+    # Fail-soft: problems only drop the extra.
     try:
       extra.update(measure_oracle_forward_err(WORKLOADS["24q"]))
     except Exception as e:
       log(f"[bench] oracle forward check failed: {e}")
-  budget_left = total_to - (time.time() - _MAIN_T0) - 120  # parent-start skew
+    if _budget_left() > 1500:
+      try:
+        extra.update(measure_precision_accuracy(WORKLOADS["24q"]))
+      except Exception as e:
+        log(f"[bench] precision-accuracy measurement failed: {e}")
+  budget_left = _budget_left()
   if (_live_platform() != "cpu"
       and os.environ.get("QHBM_BENCH_28Q", "1") != "0"
       and budget_left > 900):
@@ -798,13 +1038,24 @@ def main():
     extra["flops_per_step_24q"] = flops24
     extra["measured_tflops_24q"] = round(tflops, 2)
 
+  # Demotion rule: a gate breach makes the 'high' measurement the headline
+  # (unit-tested in tests/benchmarks/test_bench_contract.py).
+  value, headline_precision, demoted = choose_headline(
+      sps24, sps24_high, gate.get("gate_grad_rel_err"))
+  if demoted:
+    extra["matmul_precision"] = headline_precision
+    extra["steps_per_sec_24q_default_rejected"] = round(sps24, 4)
+    extra["note"] = (
+        f"default-precision gradients breached the {GRAD_REL_GATE:.0e} "
+        "relative-error gate; headline demoted to the 3-pass 'high' "
+        "measurement")
   print(json.dumps({
       "metric": "vqt_train_steps_per_sec_24q",
-      "value": round(sps24, 4),
+      "value": round(value, 4),
       "unit": "steps/s",
-      "vs_baseline": _ratio(sps24, base24),
+      "vs_baseline": _ratio(value, base24),
       "extra": extra,
-  }))
+  }), flush=True)
 
 
 if __name__ == "__main__":
