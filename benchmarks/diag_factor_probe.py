@@ -8,7 +8,8 @@ workloads (TFIM + brick-wall HEA) almost every parity factor touches
 only row (major) or only column (minor) qubits -- the only mixed factor
 is the bond crossing the major/minor boundary.  The phasor then factors:
 
-  exp(i*phase)[r,c] = e_r[r] * e_c[c] * prod_cross (cos w_k + i sin w_k * s_k[r] t_k[c])
+  exp(i*phase)[r,c] =
+      e_r[r] * e_c[c] * prod_cross (cos w_k + i sin w_k * s_k[r] t_k[c])
 
 with e_r = exp(i * row_phase) needing only R transcendentals (128x fewer)
 and the cross factors needing SCALAR trig.  This probe times both on the
@@ -30,7 +31,6 @@ _cache.enable_if_accelerator()
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from qhbmlib_tpu.ops import circuit_ir as ir
 from qhbmlib_tpu.ops import statevector as sv

@@ -4,7 +4,7 @@
 
 Runs each variant in its own process (QHBM_DIAG_PHASOR is read at trace
 time), REPEATS times each, alternating variants to decorrelate tunnel-
-latency drift, and reports per-variant MINIMUM steps/s.  Writes
+latency drift, and reports per-variant MAXIMUM (best) steps/s.  Writes
 benchmarks/diag_ab.json.
 
 Usage:  python benchmarks/run_diag_ab.py [--repeats 3]

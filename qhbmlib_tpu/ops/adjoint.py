@@ -57,6 +57,11 @@ def _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam):
   one elementwise weight array serves every gate.  Un-applying the segment
   to `a` and `lam` is a single shared phase multiply.
   """
+  n = sv.num_qubits_of(a)
+  mm = int(a.shape[1]).bit_length() - 1
+  # One triple enumeration serves both the gradient contraction and the
+  # un-apply phasor below (they used to recompute it independently).
+  coeffs, rms, cms, owner = sv.diag_segment_triples(seg_gates, n - mm, mm)
   if any(gate.slot >= 0 for gate in seg_gates):
     w = jnp.imag(jnp.conj(lam) * a)
     # One (chunked) bilinear contraction evaluates every gradient gate's
@@ -66,10 +71,6 @@ def _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam):
     # contraction: parity_bilinear's chunked scan cannot be dead-code
     # eliminated by XLA, and at 28 qubits each wasted factor chunk is a
     # full state-sized matmul.  (The un-apply below still uses every gate.)
-    rr, cc = a.shape
-    n = sv.num_qubits_of(a)
-    mm = int(cc).bit_length() - 1
-    coeffs, rms, cms, owner = sv.diag_segment_triples(seg_gates, n - mm, mm)
     keep = [k for k in range(len(owner)) if seg_gates[owner[k]].slot >= 0]
     per_factor = sv.parity_bilinear([rms[k] for k in keep],
                                     [cms[k] for k in keep], w)
@@ -79,12 +80,14 @@ def _bwd_diag_segment(seg_gates, seg_angles, grad_terms, a, lam):
                             for j in range(len(keep))
                             if owner[keep[j]] == g_idx)
         grad_terms.append((gate.slot, gate.coeff * dangle))
-  factors = sv.diag_segment_phasor_factors(seg_gates, seg_angles, a.shape)
+  weighted = [coeffs[k] * jnp.asarray(seg_angles[owner[k]], jnp.float32)
+              for k in range(len(coeffs))]
+  factors = sv.phasor_factors_from_triples(weighted, rms, cms, a.shape)
   if factors is not None:
     # Factored un-apply: exp(-i*phase) as row x col x cross phasors -- no
     # 2^n-element transcendental sweep (see diag_segment_phasor_factors).
     return sv.apply_diag_segment_phasor(factors, (a, lam), sign=-1.0)
-  total = sv.diag_segment_phase(seg_gates, seg_angles, a.shape)
+  total = sv.parity_outer_sum(weighted, rms, cms, a.shape)
   phase = jnp.exp(-1j * total.astype(sv.COMPLEX_DTYPE))
   return a * phase, lam * phase
 

@@ -1233,7 +1233,12 @@ def phasor_factors_from_triples(weighted, rms, cms, state_shape_rc):
   VPU transcendental sweeps per apply) with R + C transcendentals, and is
   *more* accurate: per-group phase sums are smaller before the f32 trig
   argument reduction (measured 1.9e-5 vs 1.1e-4 max err against an f64
-  oracle at 18 qubits -- benchmarks/diag_factor_probe.py)."""
+  oracle at 18 qubits -- benchmarks/diag_factor_probe.py).
+
+  QHBM_DIAG_PHASOR is read at TRACE time: set it before the first call to
+  any jitted function on this path.  Flipping it afterwards keeps serving
+  whatever the jit cache already compiled (re-jit a fresh callable, as
+  benchmarks/run_diag_ab.py does, to A/B the two modes in one process)."""
   if os.environ.get("QHBM_DIAG_PHASOR", "auto") == "materialize":
     return None  # A/B & debug escape hatch: force the [R, C] phase build
   r, c = state_shape_rc
@@ -1245,9 +1250,9 @@ def phasor_factors_from_triples(weighted, rms, cms, state_shape_rc):
   row_phase = parity_outer_sum([weighted[k] for k in row_k],
                                [rms[k] for k in row_k],
                                [0] * len(row_k), (r, 1)) if row_k else None
-  col_phase = parity_outer_sum([weighted[k] for k in col_k],
-                               [0] * len(col_k),
-                               [cms[k] for k in col_k], (1, c)) if col_k else None
+  col_phase = parity_outer_sum(
+      [weighted[k] for k in col_k], [0] * len(col_k),
+      [cms[k] for k in col_k], (1, c)) if col_k else None
   return row_phase, col_phase, [(weighted[k], rms[k], cms[k]) for k in cross]
 
 
