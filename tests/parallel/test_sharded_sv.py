@@ -338,14 +338,16 @@ class TestShardedTiering:
     np.testing.assert_allclose(np.asarray(fn(values)), np.asarray(dense),
                                atol=ATOL)
 
-  def test_1q_segment_backward_two_exchanges_per_global_qubit(self,
-                                                              state_mesh):
+  def test_1q_segment_backward_one_exchange_per_global_qubit(self,
+                                                             state_mesh):
     """Adjoint gradient of the chain circuit against a purely-diagonal
     observable: forward recompute pays 3 exchanges (one per global qubit),
-    the backward segment pays 2 per global qubit (partner of a, partner of
-    lam) and the lambda build none (diagonal op) -- 12 total across the
-    value+grad jaxpr.  The pre-fold path paid 3 per global GATE in the
-    backward alone.  Gradients must also match the dense engine."""
+    the backward segment pays ONE stacked [2, R, C] exchange per global
+    qubit (a and lam ride the same ppermute) and the lambda build none
+    (diagonal op) -- 9 total across the value+grad jaxpr.  The pre-fold
+    path paid 3 per global GATE in the backward alone; the pre-stacking
+    path paid 2 per global qubit.  Gradients must also match the dense
+    engine."""
     n = 5
     b = ir.CircuitBuilder(n)
     b.rx(0, "a")
@@ -366,8 +368,8 @@ class TestShardedTiering:
 
     jaxpr = jax.make_jaxpr(jax.value_and_grad(loss))(values)
     # fwd: 3 (apply) + 0 (diag expectation); bwd: 3 (recompute) + 0 (lambda)
-    # + 2 * 3 global qubits (segment) = 12.
-    assert _count_primitive(jaxpr.jaxpr, "ppermute") == 12
+    # + 1 stacked exchange * 3 global qubits (segment) = 9.
+    assert _count_primitive(jaxpr.jaxpr, "ppermute") == 9
 
     def loss_dense(v):
       return jnp.sum(adjoint.batched_expectations(circuit, v, bits, (op,)))
@@ -377,6 +379,46 @@ class TestShardedTiering:
     assert float(jnp.max(jnp.abs(gd))) > 1e-3
     np.testing.assert_allclose(float(vs), float(vd), atol=ATOL)
     np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=ATOL)
+
+
+  def test_legacy_expectation_escape_hatch_matches(self, state_mesh,
+                                                   monkeypatch):
+    """QHBM_SHARDED_EXPECT=legacy (trace-time flag) selects the per-term
+    reference path; values must match the tiered default and the dense
+    engine, and the jaxpr must show the per-term collective shape (one
+    ppermute per global-X/Y TERM, 3 for 6q TFIM on 8 devices)."""
+    n, k = 6, 3
+    op = paulis.tfim_1d(n)
+    vec = self._random_state(n, 24)
+
+    from jax.sharding import PartitionSpec
+    try:
+      from jax import shard_map
+    except ImportError:
+      from jax.experimental.shard_map import shard_map
+
+    def make_fn():
+      def fn(flat):
+        def body(chunk):
+          local = sv.from_vector(chunk, n - k)
+          return sharded_sv.expectation_terms_local(local, op, k, "state")
+        return shard_map(body, mesh=state_mesh,
+                         in_specs=PartitionSpec("state"),
+                         out_specs=PartitionSpec())(flat)
+      return fn
+
+    monkeypatch.setenv("QHBM_SHARDED_EXPECT", "legacy")
+    legacy_fn = make_fn()
+    jaxpr = jax.make_jaxpr(legacy_fn)(vec)
+    assert _count_primitive(jaxpr.jaxpr, "ppermute") == 3
+    got_legacy = legacy_fn(vec)
+    monkeypatch.setenv("QHBM_SHARDED_EXPECT", "tiered")
+    got_tiered = make_fn()(vec)
+    want = sv.expectation_terms(sv.from_vector(vec, n), op)
+    np.testing.assert_allclose(np.asarray(got_legacy), np.asarray(want),
+                               atol=ATOL)
+    np.testing.assert_allclose(np.asarray(got_tiered), np.asarray(want),
+                               atol=ATOL)
 
 
 class TestShardedQuantumInference:
