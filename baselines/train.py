@@ -654,7 +654,7 @@ def run_experiment(config, output_dir: str, seed: int = 42):
   x_h, z_h = get_tfim_hamiltonian(bias, config)
   target_hamiltonian_shards = [x_h, z_h]
   target_hamiltonian = paulis.PauliSum(
-      x_h.codes + z_h.codes, jnp.concatenate([x_h.coeffs, z_h.coeffs]),
+      x_h.codes + z_h.codes, paulis.concat_coeffs([x_h.coeffs, z_h.coeffs]),
       x_h.num_qubits)
   # Host numpy: the exact dense target math is metrics-only, and complex
   # host<->device transfers are unavailable on some backends.

@@ -128,7 +128,7 @@ def choose_headline(sps_default, sps_high, grad_rel_err, gate=GRAD_REL_GATE):
 
 def build_train_step(cfg):
   import jax
-  import jax.numpy as jnp
+  import numpy as np
   import optax
 
   from qhbmlib_tpu import models
@@ -152,7 +152,7 @@ def build_train_step(cfg):
   params = h.params
   opt = optax.adam(1e-2)
   opt_state = opt.init(params)
-  beta = jnp.asarray(BETA, jnp.float32)
+  beta = np.float32(BETA)  # host scalar: device-array constants stall lowering
 
   @jax.jit
   def train_step(params, opt_state, key):
@@ -332,7 +332,7 @@ def build_eval_vag(cfg):
   recorded trajectory points.  Parameters are explicit inputs, so the
   (randomized) init of this build's own model instance is irrelevant."""
   import jax
-  import jax.numpy as jnp
+  import numpy as np
 
   from qhbmlib_tpu import models
   from qhbmlib_tpu.inference import ebm, qhbm, qnn, vqt_loss
@@ -349,7 +349,7 @@ def build_eval_vag(cfg):
       circuit_utils.hardware_efficient_ansatz(n, cfg["layers"]))
   h = qhbm.QHBM(e_inf, qnn.AnalyticQuantumInference(circuit))
   loss_fn = vqt_loss.make_vqt(h, target)
-  beta = jnp.asarray(BETA, jnp.float32)
+  beta = np.float32(BETA)  # host scalar: device-array constants stall lowering
 
   @jax.jit
   def vag(params, key):

@@ -250,7 +250,11 @@ class AnalyticEnergyInference(EnergyInference):
           "analytic estimator semantics at smaller n, the `exact=True` and "
           "`max_unique_samples=` options bound its cost without changing the "
           "estimator.")
-    self._all_bitstrings = jnp.asarray(utils.all_bitstrings(n))
+    # Host numpy, NOT an eager device array: this enumeration is
+    # captured as a constant in jitted inference programs, and a
+    # device-array constant costs a synchronous device fetch at
+    # lowering time (minutes over a tunneled backend).
+    self._all_bitstrings = utils.all_bitstrings(n)
     self.exact = exact
     if max_unique_samples is None and n > 10:
       max_unique_samples = min(2**12, num_expectation_samples)
@@ -325,7 +329,11 @@ class BernoulliEnergyInference(EnergyInference):
     n = input_energy.num_bits
     self._enumerable = n <= DEFAULT_ENUM_BITS
     if self._enumerable:
-      self._all_bitstrings = jnp.asarray(utils.all_bitstrings(n))
+      # Host numpy, NOT an eager device array: this enumeration is
+      # captured as a constant in jitted inference programs, and a
+      # device-array constant costs a synchronous device fetch at
+      # lowering time (minutes over a tunneled backend).
+      self._all_bitstrings = utils.all_bitstrings(n)
     self.exact = exact
     self.max_unique_samples = max_unique_samples or min(
         2**min(n, 12), num_expectation_samples)

@@ -32,14 +32,40 @@ _PAULI_MATS = (
 )
 
 
+def _is_host(x) -> bool:
+  """True for values that stay on the host (no device round trips)."""
+  return isinstance(x, (np.ndarray, np.generic, int, float, list, tuple))
+
+
+def concat_coeffs(parts):
+  """Concatenates coefficient vectors, staying in numpy when every input is
+  host data -- an eager `jnp.concatenate` at model-build time would create a
+  device array whose later constant-embedding fetch is pathologically slow
+  over a tunneled backend (see PauliSum docstring)."""
+  if all(_is_host(p) for p in parts):
+    return np.concatenate([np.atleast_1d(np.asarray(p)) for p in parts])
+  return jnp.concatenate([jnp.atleast_1d(p) for p in parts])
+
+
+def _stack_coeffs(parts):
+  if all(_is_host(p) for p in parts):
+    return np.stack([np.asarray(p) for p in parts])
+  return jnp.stack(parts)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(eq=False)
 class PauliSum:
   """Sum of Pauli strings: sum_t coeffs[t] * prod_q P(codes[t, q]) on qubit q.
 
   ``codes`` is static (part of the pytree aux data) so that jitted functions
-  specialize on the operator structure; ``coeffs`` is a traced array so that
-  gradients can flow through operator coefficients.
+  specialize on the operator structure; ``coeffs`` may be a traced array so
+  that gradients can flow through operator coefficients.  At rest (the
+  constructors below) coeffs is a HOST numpy array: a device-array constant
+  captured in a jitted function forces a synchronous device fetch at
+  LOWERING time, which over the tunneled TPU backend measured 176s for a
+  27-element f32 (the entire round-4 "cold compile" mystery -- numpy
+  constants embed into the HLO with zero device interaction).
   """
 
   codes: Tuple[Tuple[int, ...], ...]  # [num_terms][num_qubits], static
@@ -67,8 +93,7 @@ class PauliSum:
       raise ValueError("PauliSums must act on the same number of qubits.")
     return PauliSum(
         codes=self.codes + other.codes,
-        coeffs=jnp.concatenate([jnp.atleast_1d(self.coeffs),
-                                jnp.atleast_1d(other.coeffs)]),
+        coeffs=concat_coeffs([self.coeffs, other.coeffs]),
         num_qubits=self.num_qubits)
 
   def __mul__(self, scalar) -> "PauliSum":
@@ -114,7 +139,7 @@ def pauli_string(num_qubits: int,
     codes[q] = _CHAR_TO_CODE[p] if isinstance(p, str) else int(p)
   return PauliSum(
       codes=(tuple(codes),),
-      coeffs=jnp.asarray([coeff], dtype=jnp.float32),
+      coeffs=np.asarray([coeff], dtype=np.float32),
       num_qubits=num_qubits)
 
 
@@ -136,7 +161,7 @@ def pauli_sum_from_strings(
     coeffs.append(coeff)
   return PauliSum(
       codes=tuple(codes),
-      coeffs=jnp.asarray(coeffs, dtype=jnp.float32),
+      coeffs=np.asarray(coeffs, dtype=np.float32),
       num_qubits=num_qubits)
 
 
@@ -173,7 +198,7 @@ def z_strings_from_masks(masks: Sequence[Sequence[int]],
     shards.append(
         PauliSum(
             codes=(codes,),
-            coeffs=jnp.ones([1], dtype=jnp.float32),
+            coeffs=np.ones([1], dtype=np.float32),
             num_qubits=num_qubits))
   return tuple(shards)
 
@@ -192,7 +217,7 @@ def stack_single_term(paulisums: Sequence[PauliSum]) -> PauliSum:
     coeffs.append(p.coeffs[0])
   return PauliSum(
       codes=tuple(codes),
-      coeffs=jnp.stack(coeffs),
+      coeffs=_stack_coeffs(coeffs),
       num_qubits=paulisums[0].num_qubits)
 
 
