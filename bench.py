@@ -36,10 +36,15 @@ CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 # MXU contraction mode for the benchmark (ADVICE r1: report it).  The
 # library default is the 3-pass 'high' mode (~5e-4 relative gradient
-# error); the benchmark opts into 1-pass bf16 'default' (9e-3 relative,
-# 1.27x faster; the VQT loss trajectory is indistinguishable at these
-# workloads -- benchmarks/RESULTS.md).  CPU runs are exact f32 regardless.
-PRECISION = os.environ.get("QHBM_MATMUL_PRECISION", "default")
+# error).  The benchmark headline runs 'mixed' (round 5): state applies at
+# 3-pass HIGH, the big parity-bilinear/transition-gram reductions at
+# 1-pass bf16 -- measured grad rel err 3.2e-4 vs 'high' at 24q, 31x under
+# the 1e-2 gate, +21% throughput over 'high'.  The old 1-pass-everything
+# 'default' mode is still measured and published as an extra: its gradient
+# error straddles the gate (9e-3 vs 'highest' r4; 1.43e-2 vs 'high' at the
+# r5 seed-0 trajectory points), which is exactly what the always-on gate
+# demotes on.  CPU runs are exact f32 regardless.
+PRECISION = os.environ.get("QHBM_MATMUL_PRECISION", "mixed")
 
 WORKLOADS = {
     "24q": dict(n=24, layers=2, samples=100, max_unique=8),
@@ -382,7 +387,9 @@ def measure_precision_accuracy(cfg, steps=8):
 
   saved = os.environ["QHBM_MATMUL_PRECISION"]
   try:
-    os.environ["QHBM_MATMUL_PRECISION"] = "default"
+    # Measure the HEADLINE mode's rounding (mixed since round 5; override
+    # via QHBM_MATMUL_PRECISION to probe another mode).
+    os.environ["QHBM_MATMUL_PRECISION"] = saved
     train_step, params, opt_state = build_train_step(cfg)
     key = jax.random.PRNGKey(7)
     snaps = []
@@ -964,6 +971,19 @@ def main():
       # though the program is already compiled and env-independent now).
       gate = precision_gate(traj24, traj24h)
       extra.update(gate)
+      if PRECISION == "mixed":
+        # The 1-pass-everything fast mode, published with its own measured
+        # error so the speed-vs-rounding tradeoff stays on the record (its
+        # grad error straddles the 1e-2 gate, which is why it is no longer
+        # the headline -- VERDICT r4 next #4 / round-5 gate breach).
+        os.environ["QHBM_MATMUL_PRECISION"] = "default"
+        traj24f = {}
+        sps24_fast, _, _ = run_workload("24q-fast", WORKLOADS["24q"],
+                                        measure_steps=8, traj=traj24f)
+        fast_gate = precision_gate(traj24f, traj24h)
+        extra["steps_per_sec_24q_fast_default"] = round(sps24_fast, 4)
+        extra["vs_baseline_24q_fast_default"] = _ratio(sps24_fast, base24)
+        extra["fast_default_grad_rel_err"] = fast_gate["gate_grad_rel_err"]
     except Exception as e:  # never let the extra kill the headline
       log(f"[bench] high-precision 24q measurement/gate failed: {e}")
     finally:
@@ -986,7 +1006,7 @@ def main():
         measure_pauli_expectations(WORKLOADS["20q"]), 1)
   except Exception as e:  # never let the extra kill the headline
     log(f"[bench] expectations/sec measurement failed: {e}")
-  if (PRECISION == "default"
+  if (PRECISION in ("default", "mixed")
       and os.environ.get("QHBM_BENCH_ACCURACY", "1") != "0"):
     # Deep accuracy artifact (beyond the always-on gate above): the f64
     # oracle forward check is cheap and always runs; the 'highest'-

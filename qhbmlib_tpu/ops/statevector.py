@@ -490,7 +490,7 @@ def major_transition(state: jnp.ndarray, bin_qubits,
   view = _major_view(state, bin_qubits, keep_cols)
   prog = (_TRANS_FULL if keep_cols else _TRANS_PURE)[k]
   return jnp.einsum(prog, jnp.conj(view), view,
-                    precision=matmul_precision())
+                    precision=reduction_precision())
 
 
 def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
@@ -850,8 +850,8 @@ def parity_bilinear(row_masks, col_masks, p: jnp.ndarray) -> jnp.ndarray:
   def vals_of(rm_c, sc_c):
     s_r = _sign_rows(rm_c, r)
     s_c = jnp.asarray(sc_c)
-    w = jnp.matmul(p, s_c.T, precision=matmul_precision())  # [R, ck]
-    return jnp.einsum("kr,rk->k", s_r, w, precision=matmul_precision())
+    w = jnp.matmul(p, s_c.T, precision=reduction_precision())  # [R, ck]
+    return jnp.einsum("kr,rk->k", s_r, w, precision=reduction_precision())
 
   if nch == 1:
     return vals_of(rm_ch[0], sc_ch[0])[:k]
@@ -878,8 +878,18 @@ def matmul_precision():
   f32 matmuls on TPU decompose into bf16 passes: 'default' (1 pass, ~4x
   faster, ~3 decimal digits), 'high' (3 passes, ~f32), 'highest' (6
   passes).  Statevector sweeps chain hundreds of contractions, so the
-  default here is 'high'; override with QHBM_MATMUL_PRECISION."""
+  default here is 'high'; override with QHBM_MATMUL_PRECISION.
+
+  'mixed' splits by error structure: state APPLIES (unitary chains, where
+  each 1-pass rounding perturbs the state coherently and the errors
+  random-walk across the sweep) run 3-pass HIGH, while the big statistical
+  REDUCTIONS (`reduction_precision` sites: parity bilinears, transition
+  grams) stay 1-pass -- their per-element roundings enter with parity-sign
+  weights and cancel ~sqrt(N), so the cheap pass costs ~1e-3, not the
+  ~1e-2 the gate polices (benchmarks/RESULTS.md round 5)."""
   name = os.environ.get("QHBM_MATMUL_PRECISION", "high")
+  if name == "mixed":
+    return jax.lax.Precision.HIGH
   return {
       "none": None,
       "default": jax.lax.Precision.DEFAULT,
@@ -888,7 +898,20 @@ def matmul_precision():
   }[name]
 
 
-def _planar_matmuls_enabled() -> bool:
+def reduction_precision():
+  """Precision for state-sized CONTRACTIONS WHOSE OUTPUT IS A REDUCTION
+  (parity bilinears, block/cross transition grams, expectation sums): in
+  'mixed' mode these stay 1-pass bf16 (see matmul_precision); in every
+  other mode they follow the global setting."""
+  if os.environ.get("QHBM_MATMUL_PRECISION", "high") == "mixed":
+    return jax.lax.Precision.DEFAULT
+  return matmul_precision()
+
+
+_UNSET = object()
+
+
+def _planar_matmuls_enabled(prec=_UNSET) -> bool:
   """Planar (re, im) decomposition of state-sized complex contractions.
 
   At 1-pass bf16 precision ('default') XLA's complex matmul lowering
@@ -900,10 +923,13 @@ def _planar_matmuls_enabled() -> bool:
   chained blocks, so the planar win costs nothing at segment boundaries.
   At 3-pass 'high' precision the complex lowering (3-multiplication
   algorithm) wins back ~10%, so 'auto' enables planar exactly when the
-  contraction precision is DEFAULT.  QHBM_PLANAR_MATMUL=0/1 forces."""
+  CALLER'S contraction precision is DEFAULT (pass `prec` -- in 'mixed'
+  mode applies run HIGH/complex while reductions run DEFAULT/planar).
+  QHBM_PLANAR_MATMUL=0/1 forces."""
   v = os.environ.get("QHBM_PLANAR_MATMUL", "auto")
   if v == "auto":
-    return matmul_precision() == jax.lax.Precision.DEFAULT
+    p = matmul_precision() if prec is _UNSET else prec
+    return p == jax.lax.Precision.DEFAULT
   return v == "1"
 
 
@@ -931,9 +957,9 @@ def cross_gram(lam: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
   """[C, C] cross contraction sum_r conj(lam)[r, c] * a[r, d] — the minor
   transition matrix between two states (lam = a gives the minor Gram all
   minor-only Pauli expectations read from)."""
-  prec = matmul_precision()
+  prec = reduction_precision()
   prog = "rc,rd->cd"
-  if _planar_matmuls_enabled() and jnp.iscomplexobj(a):
+  if _planar_matmuls_enabled(prec) and jnp.iscomplexobj(a):
     l_re, l_im = jnp.real(lam), jnp.imag(lam)
     a_re, a_im = jnp.real(a), jnp.imag(a)
     g_re = (jnp.einsum(prog, l_re, a_re, precision=prec) +
@@ -1000,10 +1026,10 @@ def block_transition(lam: jnp.ndarray, a: jnp.ndarray, start: int,
   block is then a tiny contraction against G."""
   pre = 2**start
   prog = "aIb,aJb->IJ"
-  prec = matmul_precision()
+  prec = reduction_precision()
   lv = lam.reshape(pre, 2**k, -1)
   av = a.reshape(pre, 2**k, -1)
-  if _planar_matmuls_enabled() and jnp.iscomplexobj(lv):
+  if _planar_matmuls_enabled(prec) and jnp.iscomplexobj(lv):
     l_re, l_im = jnp.real(lv), jnp.imag(lv)
     a_re, a_im = jnp.real(av), jnp.imag(av)
     # conj(lam)^T a: re = lre.are + lim.aim, im = lre.aim - lim.are

@@ -732,3 +732,50 @@ class TestDiagPhasorFactors:
     np.testing.assert_allclose(float(v_fac), float(v_mat), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_fac), np.asarray(g_mat),
                                atol=1e-4)
+
+
+class TestPrecisionModes:
+
+  def test_mixed_splits_apply_and_reduction(self, monkeypatch):
+    monkeypatch.setenv("QHBM_MATMUL_PRECISION", "mixed")
+    assert sv.matmul_precision() == jax.lax.Precision.HIGH
+    assert sv.reduction_precision() == jax.lax.Precision.DEFAULT
+    # Planar auto follows the CALLER's precision: reductions (DEFAULT)
+    # take the planar path, applies (HIGH) the complex lowering.
+    assert sv._planar_matmuls_enabled(jax.lax.Precision.DEFAULT)
+    assert not sv._planar_matmuls_enabled(jax.lax.Precision.HIGH)
+
+  def test_uniform_modes_are_uniform(self, monkeypatch):
+    for mode, prec in [("high", jax.lax.Precision.HIGH),
+                       ("highest", jax.lax.Precision.HIGHEST),
+                       ("default", jax.lax.Precision.DEFAULT)]:
+      monkeypatch.setenv("QHBM_MATMUL_PRECISION", mode)
+      assert sv.matmul_precision() == prec
+      assert sv.reduction_precision() == prec
+
+  def test_mixed_matches_high_closely(self, monkeypatch):
+    """Mixed-mode expectation+gradient vs uniform high on a small circuit:
+    the 1-pass reductions must stay within bf16-reduction noise."""
+    from qhbmlib_tpu.models import circuit_utils
+    n = 8
+    circ = circuit_utils.hardware_efficient_ansatz(n, 2)
+    vals = jnp.asarray(
+        np.random.RandomState(3).uniform(0, 2, circ.num_symbols),
+        jnp.float32)
+    op = paulis.tfim_1d(n)
+    bits = jnp.asarray(
+        np.random.RandomState(4).randint(0, 2, (2, n)), jnp.int8)
+
+    def vag():
+      def f(v):
+        return jnp.sum(adjoint.batched_expectations(circ, v, bits, (op,)))
+      return jax.value_and_grad(jax.jit(f))(vals)
+
+    monkeypatch.setenv("QHBM_MATMUL_PRECISION", "high")
+    val_h, grad_h = vag()
+    monkeypatch.setenv("QHBM_MATMUL_PRECISION", "mixed")
+    val_m, grad_m = vag()
+    assert abs(float(val_m) - float(val_h)) < 5e-3
+    rel = (np.linalg.norm(np.asarray(grad_m) - np.asarray(grad_h)) /
+           max(np.linalg.norm(np.asarray(grad_h)), 1e-12))
+    assert rel < 5e-3, rel
