@@ -1241,7 +1241,11 @@ def diag_segment_phase(gates, angles, state_shape_rc) -> jnp.ndarray:
 # brick-wall CZ entanglers) exactly one bond straddles the major/minor
 # boundary.  Past this many cross factors the factored form's per-factor
 # state passes stop paying for the saved transcendentals and the caller
-# materializes the [R, C] phase array instead.
+# materializes the [R, C] phase array instead.  Measured on v5e
+# (benchmarks/cross_factor_probe.py, 22q, k=1..6): the two paths are
+# equal within the tunnel's noise floor at every k probed, so the cap is
+# a conservative bound, not a cliff -- 1D-chain workloads have exactly
+# one cross factor regardless.
 _CROSS_MAX = 8
 
 
