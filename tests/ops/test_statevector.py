@@ -779,3 +779,49 @@ class TestPrecisionModes:
     rel = (np.linalg.norm(np.asarray(grad_m) - np.asarray(grad_h)) /
            max(np.linalg.norm(np.asarray(grad_h)), 1e-12))
     assert rel < 5e-3, rel
+
+
+class TestHostResidentConstants:
+  """Structural constants captured in jitted closures must be HOST numpy:
+  embedding a device-resident jax.Array as an HLO constant forces a
+  synchronous device fetch at lowering time that measured 30-176s PER
+  CONSTANT over the tunneled TPU backend (benchmarks/RESULTS.md round 5 --
+  the entire round-4 'cold compile' regression)."""
+
+  def test_pauli_sum_constructors_stay_numpy(self):
+    assert isinstance(paulis.tfim_1d(6).coeffs, np.ndarray)
+    assert isinstance(
+        paulis.pauli_sum_from_strings(4, [(1.0, {0: "Z"})]).coeffs,
+        np.ndarray)
+    assert isinstance(paulis.pauli_string(4, {1: "X"}, 0.5).coeffs,
+                      np.ndarray)
+    a, b = paulis.tfim_1d(4), paulis.pauli_sum_from_strings(
+        4, [(0.5, {0: "X"})])
+    assert isinstance((a + b).coeffs, np.ndarray)
+    assert isinstance((a * 2.0).coeffs, np.ndarray)
+    shards = paulis.z_strings_from_masks([[1, 0, 1, 0]], 4)
+    assert isinstance(shards[0].coeffs, np.ndarray)
+    assert isinstance(paulis.stack_single_term(list(shards) * 2).coeffs,
+                      np.ndarray)
+
+  def test_concat_coeffs_preserves_tracers(self):
+    """Traced coefficient vectors must still flow (gradients through
+    operator coefficients)."""
+    import jax
+
+    def f(c):
+      combined = paulis.concat_coeffs([c, np.ones(2, np.float32)])
+      return jnp.sum(combined)
+
+    g = jax.grad(f)(jnp.ones(3))
+    np.testing.assert_allclose(np.asarray(g), np.ones(3), atol=1e-6)
+
+  def test_analytic_ebm_enumeration_is_numpy(self):
+    from qhbmlib_tpu import models
+    from qhbmlib_tpu.inference import ebm
+    e = models.BernoulliEnergy(list(range(4)))
+    inf = ebm.BernoulliEnergyInference(e, 16, initial_seed=1)
+    assert isinstance(inf._all_bitstrings, np.ndarray)
+    inf2 = ebm.AnalyticEnergyInference(
+        models.BernoulliEnergy(list(range(4))), 16, initial_seed=1)
+    assert isinstance(inf2._all_bitstrings, np.ndarray)
