@@ -29,11 +29,15 @@ class ThermalStateData(quantum_data.QuantumData):
     # cannot transfer complex host arrays; the complex matrix is rebuilt
     # under trace (device-side) where complex arithmetic works fine.
     rho = np.asarray(density_matrix, np.complex128)
-    self._rho_re = jnp.asarray(np.real(rho), jnp.float32)
-    self._rho_im = jnp.asarray(np.imag(rho), jnp.float32)
+    # HOST numpy throughout: these are captured as constants in jitted
+    # expectation programs, and a device-array constant costs a
+    # synchronous device fetch at lowering time (minutes over a tunneled
+    # backend -- benchmarks/RESULTS.md round 5).
+    self._rho_re = np.asarray(np.real(rho), np.float32)
+    self._rho_im = np.asarray(np.imag(rho), np.float32)
     n = int(rho.shape[0]).bit_length() - 1
     self._num_qubits = n
-    self._all_bits = jnp.asarray(sv.all_bitstrings(n))
+    self._all_bits = sv.all_bitstrings(n)
 
   @property
   def num_qubits(self) -> int:
