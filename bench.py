@@ -984,6 +984,12 @@ def main():
         extra["steps_per_sec_24q_fast_default"] = round(sps24_fast, 4)
         extra["vs_baseline_24q_fast_default"] = _ratio(sps24_fast, base24)
         extra["fast_default_grad_rel_err"] = fast_gate["gate_grad_rel_err"]
+        # 20q fast companion: the r1-r4 20q records ran 1-pass 'default';
+        # keep that series comparable alongside the gated mixed number.
+        sps20_fast, _, _ = run_workload("20q-fast", WORKLOADS["20q"],
+                                        measure_steps=8)
+        extra["steps_per_sec_20q_fast_default"] = round(sps20_fast, 4)
+        extra["vs_baseline_20q_fast_default"] = _ratio(sps20_fast, base20)
     except Exception as e:  # never let the extra kill the headline
       log(f"[bench] high-precision 24q measurement/gate failed: {e}")
     finally:
