@@ -278,11 +278,15 @@ def _stm_bwd(plan, pqc, shots, res, g):
                                      angle_offsets=offset_row)
     return jax.vmap(per_state)(init_bits, keys)  # [B, T]
 
-  evals = jax.vmap(eval_one)(jnp.asarray(offsets),
-                             jnp.arange(offsets.shape[0]))  # [R, B, T]
-  contribs = jnp.einsum("rbt,bt->r", evals, g) * jnp.asarray(weights)
+  # Shift-plan constants stay HOST numpy: an eager jnp.asarray on these
+  # concrete lists creates device-array constants whose lowering-time
+  # fetch stalls a tunneled backend (benchmarks/RESULTS.md round 5).
+  evals = jax.vmap(eval_one)(np.asarray(offsets, np.float32),
+                             jnp.arange(len(offsets)))  # [R, B, T]
+  contribs = jnp.einsum("rbt,bt->r", evals, g) * np.asarray(
+      weights, np.float32)
   values_bar = jnp.zeros([num_symbols], jnp.float32).at[
-      jnp.asarray(slots)].add(contribs)
+      np.asarray(slots, np.int32)].add(contribs)
   return values_bar, None, None
 
 
@@ -521,10 +525,13 @@ def _see_bwd(pqc, shots, energy_apply, res, g):
       return _see_forward(pqc, shots, energy_apply, values, frozen_ep,
                           init_bits, fresh, offset_row)
 
-    evals = jax.vmap(eval_one)(jnp.asarray(offsets),
-                               jnp.arange(offsets.shape[0]))  # [R, B]
-    contribs = jnp.einsum("rb,b->r", evals, g) * jnp.asarray(weights)
-    values_bar = jnp.zeros_like(values).at[jnp.asarray(slots)].add(contribs)
+    # Host numpy for the static shift plan (see the analytic path above).
+    evals = jax.vmap(eval_one)(np.asarray(offsets, np.float32),
+                               jnp.arange(len(offsets)))  # [R, B]
+    contribs = jnp.einsum("rb,b->r", evals, g) * np.asarray(
+        weights, np.float32)
+    values_bar = jnp.zeros_like(values).at[
+        np.asarray(slots, np.int32)].add(contribs)
 
   return values_bar, energy_bar, None, None
 

@@ -421,7 +421,7 @@ def _global_masks(codes_row, k: int) -> Tuple[int, int, int]:
 def _device_signs(idx, phase_masks) -> jnp.ndarray:
   """[T] float32 signs (-1)^popcount(idx & phase_masks[t]) for a traced
   device index against static per-term masks."""
-  masks = jnp.asarray(np.asarray(phase_masks, np.int32))
+  masks = np.asarray(phase_masks, np.int32)  # host: see RESULTS.md r5
   par = jax.lax.population_count(jnp.bitwise_and(idx, masks)) & 1
   return (1.0 - 2.0 * par).astype(jnp.float32)
 
@@ -554,8 +554,8 @@ def build_lambda_local(psi: jnp.ndarray, op: paulis.PauliSum,
   lam = jnp.zeros_like(psi)
   for xm, ts in groups.items():
     signs = _device_signs(idx, [infos[t][1] for t in ts])
-    iy = jnp.asarray(
-        np.asarray([(1j)**(infos[t][2] % 4) for t in ts], np.complex64))
+    iy = np.asarray([(1j)**(infos[t][2] % 4) for t in ts],
+                    np.complex64)  # host: see RESULTS.md r5
     w = (term_weights[jnp.asarray(ts)].astype(COMPLEX_DTYPE) *
          signs.astype(COMPLEX_DTYPE) * iy)
     lop = paulis.PauliSum(tuple(op.codes[t][k:] for t in ts),
