@@ -921,15 +921,19 @@ def _planar_matmuls_enabled(prec=_UNSET) -> bool:
   round-3 correction, benchmarks/segment_probe.py seg_comp/seg_hybrid).
   XLA cancels the real/imag extract + lax.complex recombine between
   chained blocks, so the planar win costs nothing at segment boundaries.
-  At 3-pass 'high' precision the complex lowering (3-multiplication
-  algorithm) wins back ~10%, so 'auto' enables planar exactly when the
-  CALLER'S contraction precision is DEFAULT (pass `prec` -- in 'mixed'
-  mode applies run HIGH/complex while reductions run DEFAULT/planar).
-  QHBM_PLANAR_MATMUL=0/1 forces."""
+  Round 3 measured the complex lowering ~10% faster at 3-pass 'high', so
+  'auto' used to fall back to complex above DEFAULT precision.  Round-5
+  re-measurement on the full 24q headline says planar now wins at EVERY
+  precision (2x2 interleaved A/Bs, 2026-08-21): default 1.7x (round 3),
+  mixed 3.38 vs 3.23 steps/s (+4.7%), uniform high 2.98 vs 2.66 (+12%) --
+  the engine's later block-packing changes moved the crossover.  'auto'
+  is therefore planar everywhere; QHBM_PLANAR_MATMUL=0/1 still forces
+  (the `prec` parameter is kept for callers that want to re-probe the
+  split).  """
+  del prec  # auto no longer depends on the caller's precision
   v = os.environ.get("QHBM_PLANAR_MATMUL", "auto")
   if v == "auto":
-    p = matmul_precision() if prec is _UNSET else prec
-    return p == jax.lax.Precision.DEFAULT
+    return True
   return v == "1"
 
 

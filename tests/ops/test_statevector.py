@@ -740,10 +740,12 @@ class TestPrecisionModes:
     monkeypatch.setenv("QHBM_MATMUL_PRECISION", "mixed")
     assert sv.matmul_precision() == jax.lax.Precision.HIGH
     assert sv.reduction_precision() == jax.lax.Precision.DEFAULT
-    # Planar auto follows the CALLER's precision: reductions (DEFAULT)
-    # take the planar path, applies (HIGH) the complex lowering.
+    # Planar 'auto' is planar at every precision since the round-5
+    # re-measurement (it wins at default, mixed, AND high); 0/1 force.
     assert sv._planar_matmuls_enabled(jax.lax.Precision.DEFAULT)
-    assert not sv._planar_matmuls_enabled(jax.lax.Precision.HIGH)
+    assert sv._planar_matmuls_enabled(jax.lax.Precision.HIGH)
+    monkeypatch.setenv("QHBM_PLANAR_MATMUL", "0")
+    assert not sv._planar_matmuls_enabled(jax.lax.Precision.DEFAULT)
 
   def test_uniform_modes_are_uniform(self, monkeypatch):
     for mode, prec in [("high", jax.lax.Precision.HIGH),
