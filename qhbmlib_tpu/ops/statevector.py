@@ -497,8 +497,11 @@ def apply_pauli_sum(state: jnp.ndarray, op: paulis.PauliSum,
                     term_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
   """(sum_t w_t * coeffs[t] * P_t)|psi>.
 
-  All purely-diagonal (I/Z) terms batch into ONE [R,K]x[K,C] matmul building
-  the combined sign-weight array; only X/Y terms pay per-term passes."""
+  All purely-diagonal (I/Z) terms batch into ONE [R,K]x[K,C] matmul
+  building the combined sign-weight array; X/Y-carrying terms are tiered
+  below (one [C, C] matmul for minor-only strings, one block operator per
+  row block, kron bins for short spanning strings) -- only the remainder
+  pays per-term passes."""
   r, c = state.shape
   n = len(op.codes[0]) if op.num_terms else num_qubits_of(state)
   m = int(c).bit_length() - 1
@@ -1420,8 +1423,10 @@ def expectation_terms(state: jnp.ndarray, op: paulis.PauliSum) -> jnp.ndarray:
 
   Coefficients are NOT applied; dot with `op.coeffs` outside so that
   coefficient gradients flow through plain autodiff.  All purely-diagonal
-  (I/Z) terms evaluate together as one bilinear contraction against |psi|^2;
-  only X/Y terms pay a per-term state pass.
+  (I/Z) terms evaluate together as one bilinear contraction against
+  |psi|^2; X/Y-carrying terms are tiered below (cross-gram / block /
+  kron-bin transition contractions) -- only >3-major-qubit strings pay a
+  per-term state pass.
   """
   r, c = state.shape
   if op.num_terms == 0:  # e.g. concat_ops([], n); jnp.stack([]) would raise
